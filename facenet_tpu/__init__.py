@@ -1,0 +1,92 @@
+"""facenet_tpu — a TPU-native face-recognition framework (JAX/XLA/Pallas).
+
+From-scratch rebuild of the sMedX/FaceNet capability surface
+(see /root/repo/SURVEY.md): detection+alignment cascade, Inception-ResNet
+embedding networks, training (softmax / center / triplet losses) under pjit
+data parallelism, on-device pairwise-distance validation, pair classifiers,
+and the same app-per-task CLI with cascaded-YAML configs.
+
+The `FaceNet` class here is the inference runtime — the TPU-native equivalent
+of the reference's frozen-graph serving class
+(/root/reference/facenet/__init__.py:37-84): load exported params, feed uint8
+images, get L2-normalized float32 [B, 512] embeddings from a single jitted
+XLA computation.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Iterable
+
+import numpy as np
+
+__version__ = '0.1.0'
+
+# node-name contract preserved from the reference (facenet/__init__.py:17-34)
+nodes = {
+    'input': {'name': 'input', 'type': 'uint8'},
+    'output': {'name': 'embeddings', 'type': 'float32'},
+}
+
+config_nodes = {
+    'image_size': {'name': 'image_size', 'type': 'uint8'},
+}
+
+
+class FaceNet:
+    """Serving-time embedding extractor.
+
+    Usage (mirrors reference facenet/__init__.py docstring):
+
+        from facenet_tpu import FaceNet
+        facenet = FaceNet(config)            # config.path -> exported model dir
+        emb = facenet.image_to_embedding(np.zeros([160, 160, 3], np.uint8))
+
+    The forward pass is jit-compiled once per batch shape; inputs are uint8
+    NHWC batches, outputs are L2-normalized (or raw-bottleneck when
+    ``config.normalize`` is falsy) float32 embeddings.
+    """
+
+    def __init__(self, config):
+        import jax
+        from facenet_tpu import export
+        from facenet_tpu.config import Config
+
+        if not isinstance(config, Config) and isinstance(config, (str, Path)):
+            config = Config({'path': str(config), 'normalize': True})
+
+        self.config = config
+        path = Path(str(config.path)).expanduser()
+
+        bundle = export.load_model(path)
+        self.model = bundle.model
+        self.variables = bundle.variables
+        self.normalize = bool(config.normalize) if config.exists('normalize') else True
+
+        model = self.model
+        normalize = self.normalize
+
+        self._forward = jax.jit(
+            lambda images: model.apply(self.variables, images, train=False,
+                                       normalize=normalize))
+
+    @property
+    def embedding_size(self):
+        return int(self.model.cfg.output.size) if hasattr(self.model, 'cfg') \
+            else int(check_output_size(self.model))
+
+    def evaluate(self, images):
+        """Run forward pass to calculate embeddings for a uint8 NHWC batch."""
+        images = np.asarray(images, dtype=np.uint8)
+        return np.asarray(self._forward(images))
+
+    def image_to_embedding(self, image_arrays: Iterable[np.ndarray]) -> np.ndarray:
+        image_arrays = np.asarray(image_arrays)
+        if image_arrays.ndim == 3:
+            image_arrays = np.expand_dims(image_arrays, 0)
+        return self.evaluate(image_arrays)
+
+
+def check_output_size(model):
+    from facenet_tpu.models.inception_resnet_v1 import check_input_config
+    return check_input_config(model.config).output.size

@@ -1,0 +1,371 @@
+"""Dataset indexing and input pipelines.
+
+Capability parity with the reference data layer
+(/root/reference/facenet/dataset.py): the directory-per-class
+`ImageClass`/`Database` index with h5 validity filtering and class/image
+subsampling (ref :104-231), a shuffled/repeated/batched file pipeline
+(ref tf_dataset_api :15-43), and the P-classes x K-images equal-batch sampler
+for metric learning (ref pipeline_with_equal_batches :46-101, hardcoded
+P=20, K=5 at :61-62).
+
+The reference is mid-refactor and its apps use the names `DBase` and
+`DefaultConfig` which do not exist (SURVEY.md §2.9); here the coherent union
+is implemented: `Database` with aliases ``DBase = Database`` and a working
+`DefaultConfig`.
+
+TPU-first design: instead of tf.data, batches are produced host-side as
+fixed-shape uint8 numpy arrays (decode + crop-or-pad with PIL workers) and
+normalized *on device inside the model* — the host->HBM transfer is uint8 and
+every downstream op is jit-compiled. A double-buffered prefetcher overlaps
+host decode with device compute.
+"""
+
+from __future__ import annotations
+
+import queue as queue_mod
+import random
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+import numpy as np
+from PIL import Image
+
+from facenet_tpu import h5utils
+from facenet_tpu.logging import logger
+
+
+class DefaultConfig:
+    """Minimal dataset config for ad-hoc use (reference apps expect this name)."""
+
+    def __init__(self, path, h5file=None, nrof_classes=None,
+                 min_nrof_images=None, max_nrof_images=None):
+        self.path = path
+        self.h5file = h5file
+        self.nrof_classes = nrof_classes
+        self.min_nrof_images = min_nrof_images
+        self.max_nrof_images = max_nrof_images
+
+
+class ImageClass:
+    """Paths to the images of one class (ref dataset.py:104-142)."""
+
+    def __init__(self, config):
+        if not config.path:
+            raise ValueError('Path to dataset is not specified.')
+
+        self.path = Path(str(config.path)).expanduser()
+        self.name = self.path.stem
+
+        if not self.path.exists():
+            raise ValueError(f'Directory {self.path} does not exist')
+
+        files = list(self.path.glob('*'))
+
+        if config.h5file:
+            h5file = Path(str(config.h5file)).expanduser()
+            files = [f for f in files
+                     if h5utils.read(h5file, h5utils.filename2key(f, 'is_valid'),
+                                     default=True)]
+
+        if config.max_nrof_images:
+            if len(files) > config.max_nrof_images:
+                files = np.random.choice(files, size=config.max_nrof_images,
+                                         replace=False)
+
+        self.files = sorted(str(f) for f in files)
+
+    def __repr__(self):
+        return f'{self.__class__.__name__} ({self.name}/{self.nrof_images})'
+
+    @property
+    def nrof_images(self):
+        return len(self.files)
+
+    @property
+    def nrof_pairs(self):
+        return self.nrof_images * (self.nrof_images - 1) // 2
+
+
+class Database:
+    """Directory-per-class dataset index (ref dataset.py:145-231)."""
+
+    def __init__(self, config):
+        if isinstance(config, (str, Path)):
+            config = DefaultConfig(config)
+
+        if not config.path:
+            raise ValueError('Path to dataset is not specified.')
+
+        self.path = Path(str(config.path)).expanduser()
+        if not self.path.exists():
+            raise ValueError(f'Directory {self.path} does not exist')
+
+        self.h5file = config.h5file
+        if self.h5file:
+            self.h5file = Path(str(self.h5file)).expanduser()
+
+        dirs = [p for p in self.path.glob('*') if p.is_dir()]
+        if config.nrof_classes:
+            if len(dirs) > config.nrof_classes:
+                dirs = list(np.random.choice(dirs, size=config.nrof_classes,
+                                             replace=False))
+        dirs.sort()
+
+        min_images = config.min_nrof_images or 0
+
+        self.classes = []
+        for path in dirs:
+            images = ImageClass(DefaultConfig(
+                path, h5file=self.h5file,
+                max_nrof_images=config.max_nrof_images))
+            if images.nrof_images > 0 and images.nrof_images >= min_images:
+                self.classes.append(images)
+
+        logger.info(str(self))
+
+    def __repr__(self):
+        return (f'{self.__class__.__name__}\n' +
+                f'{self.path}\n' +
+                f'h5 file {self.h5file}\n' +
+                f'Number of classes {self.nrof_classes} \n' +
+                f'Number of images {self.nrof_images}\n' +
+                f'Minimal number of images in class {self.min_nrof_images}\n' +
+                f'Maximal number of images in class {self.max_nrof_images}\n')
+
+    @property
+    def files(self):
+        files = []
+        for cls in self.classes:
+            files += cls.files
+        return files
+
+    @property
+    def labels(self):
+        labels = []
+        for idx, cls in enumerate(self.classes):
+            labels += [idx] * cls.nrof_images
+        return np.array(labels)
+
+    @property
+    def min_nrof_images(self):
+        return min(cls.nrof_images for cls in self.classes)
+
+    @property
+    def max_nrof_images(self):
+        return max(cls.nrof_images for cls in self.classes)
+
+    @property
+    def nrof_classes(self):
+        return len(self.classes)
+
+    @property
+    def nrof_images(self):
+        return sum(cls.nrof_images for cls in self.classes)
+
+    @property
+    def nrof_images_per_class(self):
+        return [cls.nrof_images for cls in self.classes]
+
+    # ------------------------------------------------------------------
+    # pipelines
+    # ------------------------------------------------------------------
+
+    def batches(self, loader, batch_size, shuffle=False, repeat=False,
+                drop_remainder=False, num_workers=8, prefetch=2, seed=None):
+        """Batched pipeline over (files, labels) — tf_dataset_api equivalent."""
+        return BatchLoader(self.files, self.labels, loader, batch_size,
+                           shuffle=shuffle, repeat=repeat,
+                           drop_remainder=drop_remainder,
+                           num_workers=num_workers, prefetch=prefetch,
+                           seed=seed)
+
+    # reference-compatible name
+    def tf_dataset_api(self, loader, batch_size, buffer_size=None, repeat=False):
+        return self.batches(loader, batch_size, shuffle=buffer_size is not None,
+                            repeat=repeat)
+
+
+# reference apps use this name (SURVEY.md §2.9)
+DBase = Database
+
+
+class ImageLoader:
+    """Decode an image file into a fixed-shape uint8 array.
+
+    Equivalent of the reference in-graph loader (facenet.py:45-54):
+    decode, then crop-or-pad to (size, size); here with PIL on host.
+    """
+
+    def __init__(self, config=None, size=None):
+        if size is None:
+            size = int(config.size)
+        self.height = self.width = int(size)
+
+    def __call__(self, path):
+        with Image.open(path) as img:
+            arr = np.asarray(img.convert('RGB'), dtype=np.uint8)
+        return crop_or_pad(arr, self.height, self.width)
+
+
+def crop_or_pad(image, height, width):
+    """Center crop-or-pad, semantics of tf.image.resize_with_crop_or_pad."""
+    h, w = image.shape[:2]
+
+    top = max((h - height) // 2, 0)
+    left = max((w - width) // 2, 0)
+    image = image[top:top + height, left:left + width]
+
+    pad_h = height - image.shape[0]
+    pad_w = width - image.shape[1]
+    if pad_h > 0 or pad_w > 0:
+        image = np.pad(image,
+                       ((pad_h // 2, pad_h - pad_h // 2),
+                        (pad_w // 2, pad_w - pad_w // 2),
+                        (0, 0)))
+    return image
+
+
+class BatchLoader:
+    """Multithreaded, double-buffered host pipeline yielding uint8 batches.
+
+    Yields (images [B,H,W,3] uint8, labels [B] int32). The decode pool runs
+    `num_workers` PIL decoders; `prefetch` batches are staged ahead so device
+    compute overlaps host IO (the TPU-side analogue of tf.data prefetch).
+    """
+
+    def __init__(self, files, labels, loader, batch_size, shuffle=False,
+                 repeat=False, drop_remainder=False, num_workers=8,
+                 prefetch=2, seed=None):
+        self.files = list(files)
+        self.labels = np.asarray(labels, dtype=np.int32)
+        self.loader = loader
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.repeat = repeat
+        self.drop_remainder = drop_remainder
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        n = len(self.files)
+        if self.drop_remainder:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    @property
+    def nrof_batches(self):
+        return len(self)
+
+    def _index_stream(self):
+        n = len(self.files)
+        while True:
+            order = np.arange(n)
+            if self.shuffle:
+                self.rng.shuffle(order)
+            for start in range(0, n, self.batch_size):
+                idx = order[start:start + self.batch_size]
+                if self.drop_remainder and len(idx) < self.batch_size:
+                    continue
+                yield idx
+            if not self.repeat:
+                return
+
+    def __iter__(self):
+        stop = threading.Event()
+        q = queue_mod.Queue(maxsize=max(self.prefetch, 1))
+
+        def produce():
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                try:
+                    for idx in self._index_stream():
+                        if stop.is_set():
+                            return
+                        images = list(pool.map(
+                            lambda i: self.loader(self.files[i]), idx))
+                        batch = np.stack(images)
+                        q.put((batch, self.labels[idx]))
+                finally:
+                    q.put(None)
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
+            # drain so the producer can exit
+            try:
+                while q.get_nowait() is not None:
+                    pass
+            except queue_mod.Empty:
+                pass
+
+
+def pipeline_with_equal_batches(loader, classes, config, seed=None):
+    """P-classes x K-images equal-batch pipeline (ref dataset.py:46-101).
+
+    Yields (images, labels) batches of size P*K forever. P/K default to the
+    reference's hardcoded 20/5 (ref :61-62) unless set in config.
+    """
+    nrof_classes_per_batch = int(config.nrof_classes_per_batch or 20)
+    nrof_examples_per_class = int(config.nrof_examples_per_class or 5)
+    config.nrof_classes_per_batch = nrof_classes_per_batch
+    config.nrof_examples_per_class = nrof_examples_per_class
+
+    for idx, _class in enumerate(classes):
+        _class.index = idx
+
+    rnd = random.Random(seed)
+
+    def generator():
+        while True:
+            batch_files = []
+            batch_labels = []
+            usable = [c for c in classes
+                      if c.nrof_images >= nrof_examples_per_class]
+            for cls in rnd.sample(usable, nrof_classes_per_batch):
+                batch_files += rnd.sample(cls.files, nrof_examples_per_class)
+                batch_labels += [cls.index] * nrof_examples_per_class
+
+            images = np.stack([loader(f) for f in batch_files])
+            yield images, np.asarray(batch_labels, dtype=np.int32)
+
+    return generator()
+
+
+def equal_batches_input_pipeline(embeddings, config, seed=None):
+    """Equal batches over precomputed per-class embeddings (ref facenet.py:89-123).
+
+    :param embeddings: list of [n_c, D] arrays (one per class)
+    :return: infinite generator of [P*K, D] float32 batches
+    """
+    if not config.nrof_classes_per_batch:
+        config.nrof_classes_per_batch = len(embeddings)
+
+    if not config.nrof_examples_per_class:
+        config.nrof_examples_per_class = round(
+            0.1 * sum(len(e) for e in embeddings) / len(embeddings))
+        config.nrof_examples_per_class = max(config.nrof_examples_per_class, 1)
+
+    p = int(config.nrof_classes_per_batch)
+    k = int(config.nrof_examples_per_class)
+
+    rnd = random.Random(seed)
+
+    def generator():
+        while True:
+            batch = []
+            usable = [e for e in embeddings if len(e) >= k]
+            for embs in rnd.sample(usable, p):
+                rows = rnd.sample(range(len(embs)), k)
+                batch.append(np.asarray(embs)[rows])
+            yield np.concatenate(batch).astype(np.float32)
+
+    return generator()

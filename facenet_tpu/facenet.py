@@ -1,0 +1,159 @@
+"""Core helpers — the facenet_tpu equivalent of the reference's `facenet.facenet`
+module (/root/reference/facenet/facenet.py): batch embedding evaluation, the
+embeddings store, loss/schedule re-exports, and input-pipeline shims.
+
+The reference module is mid-refactor (SURVEY.md §2.9); this module implements
+the coherent union under one naming scheme.
+"""
+
+from __future__ import annotations
+
+import random
+from pathlib import Path
+
+import numpy as np
+
+from facenet_tpu import h5utils
+from facenet_tpu.dataset import (  # noqa: F401  (re-exports, reference names)
+    ImageLoader, equal_batches_input_pipeline, pipeline_with_equal_batches)
+from facenet_tpu.logging import logger
+from facenet_tpu.ops.losses import (  # noqa: F401
+    center_loss, softmax_cross_entropy_with_logits, triplet_semihard_loss)
+from facenet_tpu.ops.lr_schedules import LearningRateScheduler  # noqa: F401
+from facenet_tpu.ops.preprocessing import image_processing as ImageProcessing  # noqa: F401
+
+
+def inputs(config):
+    """Example input spec for the configured image size (ref facenet.py:35-36)."""
+    import jax.numpy as jnp
+    return np.zeros((1, int(config.size), int(config.size), 3), dtype=jnp.uint8)
+
+
+def evaluate_embeddings(forward_fn, batches, renormalize=True):
+    """Run `forward_fn` over all batches; concatenate embeddings and labels.
+
+    Equivalent of the reference evaluate_embeddings (facenet.py:184-201).
+
+    :param forward_fn: images [B,H,W,3] uint8 -> [B,D] embeddings (jitted)
+    :param batches: iterable of (images, labels)
+    :param renormalize: re-apply exact L2 normalization in float64 on host.
+        The TPU forward runs in bfloat16 and XLA may keep the final normalize
+        in reduced precision; the validation statistics assert unit norms to
+        1e-5 (reference statistics.py:38-42), so the eval path restores exact
+        norms here (distances change by < 1e-3, accuracy is unaffected).
+    :return: (embeddings [N, D] float32, labels [N])
+    """
+    embeddings_ = []
+    labels_ = []
+
+    for images, labels in batches:
+        embeddings = np.asarray(forward_fn(images))
+        embeddings_.append(embeddings)
+        labels_.append(np.asarray(labels))
+
+    embeddings = np.concatenate(embeddings_)
+    labels = np.concatenate(labels_)
+
+    if renormalize:
+        norms = np.linalg.norm(embeddings.astype(np.float64), axis=1,
+                               keepdims=True)
+        embeddings = (embeddings / np.maximum(norms, 1e-10)).astype(np.float32)
+
+    return embeddings, labels
+
+
+def split_embeddings(embeddings, labels):
+    """Split a flat embeddings array into per-class arrays (ref facenet.py:220-225)."""
+    list_of_embeddings = []
+    for label in np.unique(labels):
+        list_of_embeddings.append(embeddings[label == labels])
+    return list_of_embeddings
+
+
+class Embeddings:
+    """Stored-embeddings loader with class/image subsampling (ref facenet.py:228-296)."""
+
+    def __init__(self, config):
+        self.config = config
+        self.file = Path(str(config.path)).expanduser()
+
+        embeddings = h5utils.read(self.file, 'embeddings')
+        labels = h5utils.read(self.file, 'labels')
+
+        self.embeddings = split_embeddings(embeddings, labels)
+
+        if self.config.nrof_classes:
+            if self.nrof_classes > self.config.nrof_classes:
+                chosen = random.sample(range(self.nrof_classes),
+                                       self.config.nrof_classes)
+                self.embeddings = [self.embeddings[label] for label in chosen]
+
+        if self.config.max_nrof_images:
+            for idx, emb in enumerate(self.embeddings):
+                nrof_images = emb.shape[0]
+                if nrof_images > self.config.max_nrof_images:
+                    rows = random.sample(range(nrof_images),
+                                         self.config.max_nrof_images)
+                    self.embeddings[idx] = emb[rows, :]
+
+    def __repr__(self):
+        data = [len(e) for e in self.embeddings]
+        embeddings = np.concatenate(self.embeddings, axis=0)
+        norm = np.linalg.norm(embeddings, axis=1)
+
+        return (f'{self.__class__.__name__}\n' +
+                f'Input file {self.file}\n' +
+                f'Number of classes {self.nrof_classes} \n' +
+                f'Number of images {self.nrof_images}\n' +
+                f'Minimal number of images in class {min(data)}\n' +
+                f'Maximal number of images in class {max(data)}\n' +
+                '\n' +
+                f'Minimal embedding {np.min(norm)}\n' +
+                f'Maximal embedding {np.max(norm)}\n' +
+                f'Mean embedding {np.mean(norm)}\n')
+
+    @property
+    def nrof_classes(self):
+        return len(self.embeddings)
+
+    @property
+    def nrof_images(self):
+        return sum(len(e) for e in self.embeddings)
+
+    @property
+    def length(self):
+        return self.embeddings[0].shape[1]
+
+    def data(self, normalize=False):
+        embeddings = self.embeddings
+        if normalize:
+            embeddings = [e / np.linalg.norm(e, axis=1, keepdims=True)
+                          for e in embeddings]
+        return embeddings
+
+
+class EvaluationOfEmbeddings:
+    """Batched embedding extraction over a Database (ref facenet.py:299-338,
+    commented out there; the apps still call it — SURVEY.md §2.9)."""
+
+    def __init__(self, dbase, config, forward_fn=None):
+        from facenet_tpu.dataset import ImageLoader as Loader
+
+        self.config = config
+        self.dbase = dbase
+
+        if forward_fn is None:
+            from facenet_tpu import FaceNet
+            facenet = FaceNet(config.model)
+            forward_fn = facenet.evaluate
+
+        loader = Loader(config=config.image)
+        batches = dbase.batches(loader, batch_size=int(config.batch_size or 100))
+
+        self.embeddings, self.labels = evaluate_embeddings(forward_fn, batches)
+        logger.info(str(self))
+
+    def __repr__(self):
+        return ('{}\n'.format(self.__class__.__name__) +
+                'model: {}\n'.format(self.config.model.path) +
+                'embedding size: {}\n'.format(self.embeddings.shape))

@@ -1,0 +1,94 @@
+"""In-model image preprocessing, TPU-native.
+
+Re-implements the reference ImageProcessing layer
+(/root/reference/facenet/facenet.py:57-86): uint8 batch -> float32, resize to
+the configured size, then one of two normalizations:
+
+  normalization == 0: per-image min/max dynamic-range scaling to [-1, 1]
+                      (reference facenet.py:72-77, eps=1e-3)
+  normalization == 1: per-image standardization (x - mean) / adjusted_stddev
+                      with adjusted_stddev = max(std, 1/sqrt(N)) — the exact
+                      semantics of tf.image.per_image_standardization
+
+The preprocessing lives *inside* the jitted model so raw uint8 batches cross
+the host->HBM boundary (4x less PCIe/ICI traffic than f32) and the
+normalization arithmetic fuses into the first convolution's XLA computation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-3
+
+
+def image_processing(image_batch, size, normalization=0, dtype=jnp.float32):
+    """Preprocess a uint8 (or float) NHWC image batch on device.
+
+    :param image_batch: [B, H, W, 3] uint8/float array
+    :param size: target square size (int)
+    :param normalization: 0 (min/max dynamic range) or 1 (standardization)
+    :param dtype: output dtype (use bfloat16 to feed the bf16 conv stack)
+    :return: [B, size, size, 3] normalized batch in `dtype`
+    """
+    x = image_batch.astype(jnp.float32)
+
+    if x.shape[1] != size or x.shape[2] != size:
+        x = jax.image.resize(
+            x, (x.shape[0], size, size, x.shape[3]), method='bilinear')
+
+    if normalization == 0:
+        min_value = jnp.min(x, axis=(-1, -2, -3), keepdims=True)
+        max_value = jnp.max(x, axis=(-1, -2, -3), keepdims=True)
+        dynamic_range = jnp.maximum(max_value - min_value, _EPS)
+        x = (2 * x - (min_value + max_value)) / dynamic_range
+    elif normalization == 1:
+        n = x.shape[1] * x.shape[2] * x.shape[3]
+        mean = jnp.mean(x, axis=(-1, -2, -3), keepdims=True)
+        std = jnp.std(x, axis=(-1, -2, -3), keepdims=True)
+        adjusted_std = jnp.maximum(std, 1.0 / jnp.sqrt(float(n)))
+        x = (x - mean) / adjusted_std
+    else:
+        raise ValueError('Invalid image normalization algorithm')
+
+    return x.astype(dtype)
+
+
+def random_augment(key, image_batch, random_crop=False, random_flip=False,
+                   crop_size=None):
+    """Training-time augmentation on device (reference train config image.random_*).
+
+    Operates on uint8 batches before `image_processing`. All shapes static.
+    """
+    x = image_batch
+    b = x.shape[0]
+
+    if random_crop and crop_size is not None and (
+            x.shape[1] > crop_size or x.shape[2] > crop_size):
+        key, k1, k2 = jax.random.split(key, 3)
+        max_y = x.shape[1] - crop_size
+        max_x = x.shape[2] - crop_size
+        off_y = jax.random.randint(k1, (b,), 0, max_y + 1)
+        off_x = jax.random.randint(k2, (b,), 0, max_x + 1)
+
+        def crop_one(img, oy, ox):
+            return jax.lax.dynamic_slice(
+                img, (oy, ox, 0), (crop_size, crop_size, img.shape[2]))
+
+        x = jax.vmap(crop_one)(x, off_y, off_x)
+
+    if random_flip:
+        key, k = jax.random.split(key)
+        flip = jax.random.bernoulli(k, 0.5, (b,))
+        x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+
+    return x
+
+
+def center_crop(image_batch, crop_size):
+    """Center-crop an NHWC batch to crop_size (eval counterpart of random_crop)."""
+    h, w = image_batch.shape[1], image_batch.shape[2]
+    oy = (h - crop_size) // 2
+    ox = (w - crop_size) // 2
+    return image_batch[:, oy:oy + crop_size, ox:ox + crop_size, :]

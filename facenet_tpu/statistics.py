@@ -1,0 +1,480 @@
+"""Validation statistics: pairwise-distance accuracy / ROC / EER, TPU-native.
+
+Capability parity with the reference statistics stack
+(/root/reference/facenet/statistics.py): `pairwise_similarities` (squared
+Euclidean ``2(1-cos)`` for metric 0, ``arccos`` for metric 1, with the
+normalized-embeddings assertion, ref :22-57), per-class-pair *weighted*
+confusion counts over a threshold grid (ref ConfidenceMatrix :111-138),
+accuracy/precision/TPR/TNR properties (ref :140-175), AUC + EER via
+brentq/interp (ref :215-224), and the 10-fold KFold protocol that picks
+thresholds on train folds and scores on the test fold (ref :277-313).
+
+TPU-first redesign of the hot loop: the reference iterates python-level class
+pairs and rebuilds numpy gram matrices per pair (its full validation pass
+takes 694-1540 s, see BASELINE.md). Here the math is reformulated so a single
+pass over the (tiled) N x N distance matrix suffices:
+
+  tp(t) = (1/C)      * sum over positive image pairs  w_nm * [d_nm < t]
+  fp(t) = (1/P_neg)  * sum over negative image pairs  w_nm * [d_nm < t]
+
+with per-pair weights w_nm = 1/#pairs-in-that-class-block — identical numbers
+to the reference's per-block ``count/weight`` accumulation, but expressible as
+two weighted histograms over threshold bins, computed with one E @ E^T matmul
+(MXU) + searchsorted binning + segment-sums (VPU) per row tile, entirely
+on device under jit.
+"""
+
+from __future__ import annotations
+
+import datetime
+import time
+from functools import partial
+from pathlib import Path
+
+import numpy as np
+
+from facenet_tpu import h5utils
+from facenet_tpu.logging import logger
+
+_ROW_CHUNK = 512
+
+
+def pairwise_similarities(xa, xb=None, metric=0, atol=1.e-5):
+    """Pairwise distances between normalized embeddings (ref statistics.py:22-57).
+
+    :param xa: [Na, D] embeddings (L2-normalized)
+    :param xb: optional [Nb, D]; if None, returns the condensed upper triangle
+    :param metric: 0 — squared Euclidean 2(1-cos); 1 — arccos (angle)
+    """
+    xa = np.asarray(xa)
+
+    if xb is None:
+        sims = xa @ xa.transpose()
+        sims = sims[np.triu_indices(sims.shape[0], k=1)]
+    else:
+        sims = xa @ np.asarray(xb).transpose()
+
+    if sims.size > 0:
+        lim = 1 + atol
+        if sims.min() < -lim or sims.max() > lim:
+            raise ValueError(
+                '\nembeddings must be normalized to 1, range {} {}'.format(
+                    sims.min(), sims.max()))
+
+        sims = np.clip(sims, -1, 1)
+
+        if metric == 0:
+            sims = 2 * (1 - sims)
+        elif metric == 1:
+            sims = np.arccos(sims)
+        else:
+            raise ValueError('Undefined similarity metric {}'.format(metric))
+
+    return sims
+
+
+def mean(x):
+    return np.mean(np.array(x))
+
+
+def std(x):
+    return np.std(np.array(x))
+
+
+def split_embeddings(embeddings, labels):
+    """Split embeddings into per-class arrays (ref statistics.py:68-79)."""
+    emb_list = []
+    for label in np.unique(labels):
+        emb_list.append(embeddings[label == labels])
+    return emb_list
+
+
+class SimilarityCalculator:
+    """Per-class-pair similarity evaluation (API parity: ref statistics.py:82-108)."""
+
+    def __init__(self, embeddings, labels, metric=0):
+        self.metric = metric
+        self.labels = np.asarray(labels)
+        self.raw = np.ascontiguousarray(np.asarray(embeddings), dtype=np.float32)
+        self.embeddings = split_embeddings(self.raw, self.labels)
+
+    def evaluate(self, i, k):
+        nrof_positive_class_pairs = self.nrof_classes
+        nrof_negative_class_pairs = self.nrof_classes * (self.nrof_classes - 1) / 2
+
+        if i == k:
+            sims = pairwise_similarities(self.embeddings[i], metric=self.metric)
+            weight = sims.size * nrof_positive_class_pairs
+        else:
+            sims = pairwise_similarities(self.embeddings[i], self.embeddings[k],
+                                         metric=self.metric)
+            weight = sims.size * nrof_negative_class_pairs
+
+        return sims, weight
+
+    @property
+    def nrof_classes(self):
+        return len(self.embeddings)
+
+    def nrof_images(self, i):
+        return self.embeddings[i].shape[0]
+
+
+# ---------------------------------------------------------------------------
+# On-device weighted pair histograms
+# ---------------------------------------------------------------------------
+
+def _make_pair_histograms():
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnames=('num_classes', 'metric', 'num_bins'))
+    def pair_histograms(embeddings, labels, thresholds,
+                        num_classes, metric, num_bins):
+        """Weighted histograms of pair distances over threshold bins.
+
+        Returns (hist_pos, hist_neg), each [num_bins + 1], where bin p holds
+        the total per-pair weight of pairs whose distance d satisfies
+        p == #{thresholds <= d}; cumsum(hist)[n] is then the weighted count of
+        pairs with d < thresholds[n].
+        """
+        n = embeddings.shape[0]
+        emb = embeddings.astype(jnp.float32)
+        labels = labels.astype(jnp.int32)
+
+        counts = jax.ops.segment_sum(jnp.ones((n,), jnp.float32), labels,
+                                     num_segments=num_classes)
+        inv_n = jnp.where(counts > 0, 1.0 / jnp.maximum(counts, 1), 0.0)
+        pos_pairs = counts * (counts - 1) / 2
+        inv_pos = jnp.where(pos_pairs > 0, 1.0 / jnp.maximum(pos_pairs, 1), 0.0)
+
+        chunk = min(_ROW_CHUNK, n)
+        nchunks = -(-n // chunk)
+        pad = nchunks * chunk - n
+
+        emb_p = jnp.pad(emb, ((0, pad), (0, 0)))
+        labels_p = jnp.pad(labels, (0, pad))
+
+        col_idx = jnp.arange(n)
+
+        def body(c, carry):
+            hist_pos, hist_neg = carry
+            rows = jax.lax.dynamic_slice(
+                emb_p, (c * chunk, 0), (chunk, emb.shape[1]))
+            row_labels = jax.lax.dynamic_slice(labels_p, (c * chunk,), (chunk,))
+            row_idx = c * chunk + jnp.arange(chunk)
+
+            # full-f32 matmul precision: the reference computes distances in
+            # f32 numpy; XLA's DEFAULT dot precision on TPU truncates to
+            # bf16 passes (~4e-3 error) which would corrupt threshold counts
+            sims = jnp.clip(
+                jnp.dot(rows, emb.T, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST),
+                -1.0, 1.0)
+            if metric == 0:
+                d = 2.0 * (1.0 - sims)
+            else:
+                d = jnp.arccos(sims)
+
+            # strict upper triangle in global image indices: each unordered
+            # image pair is counted exactly once
+            valid = row_idx[:, None] < col_idx[None, :]
+            pos = row_labels[:, None] == labels[None, :]
+
+            w_pos = inv_pos[row_labels][:, None]
+            w_neg = inv_n[row_labels][:, None] * inv_n[labels][None, :]
+
+            p = jnp.searchsorted(thresholds, d, side='right').astype(jnp.int32)
+            ids = p.reshape(-1)
+
+            wp = jnp.where(valid & pos, w_pos, 0.0).reshape(-1)
+            wn = jnp.where(valid & ~pos, w_neg, 0.0).reshape(-1)
+
+            hist_pos = hist_pos + jax.ops.segment_sum(
+                wp, ids, num_segments=num_bins + 1)
+            hist_neg = hist_neg + jax.ops.segment_sum(
+                wn, ids, num_segments=num_bins + 1)
+            return hist_pos, hist_neg
+
+        init = (jnp.zeros((num_bins + 1,), jnp.float32),
+                jnp.zeros((num_bins + 1,), jnp.float32))
+        hist_pos, hist_neg = jax.lax.fori_loop(0, nchunks, body, init)
+        return hist_pos, hist_neg
+
+    return pair_histograms
+
+
+_pair_histograms = _make_pair_histograms()
+
+
+def confusion_counts(embeddings, labels, thresholds, metric=0, atol=1e-5):
+    """Weighted (tp, fn, fp, tn) per threshold — reference ConfidenceMatrix math.
+
+    Computed on device in one tiled pass; numerically equivalent to the
+    reference's per-class-pair loop (statistics.py:124-138).
+    """
+    embeddings = np.ascontiguousarray(embeddings, dtype=np.float32)
+    labels = np.asarray(labels)
+
+    # remap labels to a dense range
+    uniq, dense = np.unique(labels, return_inverse=True)
+    num_classes = len(uniq)
+
+    # normalization sanity check, as in pairwise_similarities (ref :38-42)
+    norms = np.linalg.norm(embeddings, axis=1)
+    if norms.size and (norms.min() < 1 - atol or norms.max() > 1 + atol):
+        raise ValueError(
+            '\nembeddings must be normalized to 1, range {} {}'.format(
+                norms.min(), norms.max()))
+
+    thresholds = np.atleast_1d(np.asarray(thresholds, dtype=np.float32))
+    order = np.argsort(thresholds, kind='stable')
+    sorted_t = thresholds[order]
+
+    hist_pos, hist_neg = _pair_histograms(
+        jnp_array(embeddings), jnp_array(dense.astype(np.int32)),
+        jnp_array(sorted_t), num_classes=int(num_classes),
+        metric=int(metric), num_bins=int(sorted_t.size))
+
+    hist_pos = np.asarray(hist_pos)
+    hist_neg = np.asarray(hist_neg)
+
+    # cumulative weighted counts below each threshold (in sorted order)
+    below_pos = np.cumsum(hist_pos)[:-1]
+    below_neg = np.cumsum(hist_neg)[:-1]
+
+    total_pos = hist_pos.sum()
+    total_neg = hist_neg.sum()
+
+    nrof_neg_class_pairs = num_classes * (num_classes - 1) / 2
+
+    tp_s = below_pos / num_classes
+    fn_s = (total_pos - below_pos) / num_classes
+    if nrof_neg_class_pairs > 0:
+        fp_s = below_neg / nrof_neg_class_pairs
+        tn_s = (total_neg - below_neg) / nrof_neg_class_pairs
+    else:
+        fp_s = np.zeros_like(below_neg)
+        tn_s = np.zeros_like(below_neg)
+
+    # undo the sort
+    tp = np.empty_like(tp_s); tp[order] = tp_s
+    fn = np.empty_like(fn_s); fn[order] = fn_s
+    fp = np.empty_like(fp_s); fp[order] = fp_s
+    tn = np.empty_like(tn_s); tn[order] = tn_s
+
+    return tp, fn, fp, tn
+
+
+def jnp_array(x):
+    import jax.numpy as jnp
+    return jnp.asarray(x)
+
+
+class ConfidenceMatrix:
+    """Confusion matrix (tp, tn, fp, fn) over thresholds (ref statistics.py:111-175).
+
+    Same constructor contract as the reference — takes a SimilarityCalculator
+    and a threshold array — but evaluates on device in one pass.
+    """
+
+    def __init__(self, calculator, threshold):
+        self.threshold = np.array(threshold, ndmin=1)
+        self.tp, self.fn, self.fp, self.tn = confusion_counts(
+            calculator.raw, calculator.labels, self.threshold,
+            metric=calculator.metric)
+
+    @property
+    def accuracy(self):
+        return (self.tp + self.tn) / (self.tp + self.fp + self.tn + self.fn)
+
+    @property
+    def precision(self):
+        i = (self.tp + self.fp) > 0
+        precision = np.ones(self.threshold.size)
+        precision[i] = self.tp[i] / (self.tp[i] + self.fp[i])
+        return precision
+
+    @property
+    def tp_rates(self):
+        i = (self.tp + self.fn) > 0
+        tp_rates = np.ones(self.threshold.size)
+        tp_rates[i] = self.tp[i] / (self.tp[i] + self.fn[i])
+        return tp_rates
+
+    @property
+    def tn_rates(self):
+        i = (self.tn + self.fp) > 0
+        tn_rates = np.ones(self.threshold.size)
+        tn_rates[i] = self.tn[i] / (self.tn[i] + self.fp[i])
+        return tn_rates
+
+    @property
+    def fp_rates(self):
+        return 1 - self.tn_rates
+
+    @property
+    def fn_rates(self):
+        return 1 - self.tp_rates
+
+
+class Report:
+    """Statistical report over folds (ref statistics.py:178-234)."""
+
+    def __init__(self, criterion=None):
+        self.criterion = criterion
+        self.conf_matrix_train = []
+        self.conf_matrix_test = []
+
+    def __repr__(self):
+        dct = self.dict
+
+        info = self.criterion + '\n'
+        info += ('Area under curve (AUC): {:1.5f}\n'.format(dct['auc']) +
+                 'Equal error rate (EER): {:1.5f}\n'.format(dct['eer']) + '\n')
+        info += ('Accuracy:  {:2.5f}+-{:2.5f}\n'.format(dct['accuracy'], dct['accuracy_std']) +
+                 'Precision: {:2.5f}+-{:2.5f}\n'.format(dct['precision'], std(dct['precision_std'])) +
+                 'Sensitivity (TPR, 1-a type 1 error): {:2.5f}+-{:2.5f}\n'.format(dct['tp_rates'], dct['tp_rates_std']) +
+                 'Specificity (TNR, 1-b type 2 error): {:2.5f}+-{:2.5f}\n'.format(dct['tn_rates'], dct['tn_rates_std']) +
+                 'Threshold: {:2.5f}+-{:2.5f}\n'.format(dct['threshold'], dct['threshold_std']) + '\n')
+        return info
+
+    def append_fold(self, name, conf_matrix):
+        if name == 'train':
+            self.conf_matrix_train.append(conf_matrix)
+        else:
+            self.conf_matrix_test.append(conf_matrix)
+
+    @property
+    def dict(self):
+        import sklearn.metrics
+        from scipy import interpolate
+        from scipy.optimize import brentq
+
+        tp_rates = np.mean(np.array([m.tp_rates for m in self.conf_matrix_train]), axis=0)
+        tn_rates = np.mean(np.array([m.tn_rates for m in self.conf_matrix_train]), axis=0)
+
+        dct = {'auc': -1, 'eer': -1}
+        try:
+            dct['auc'] = sklearn.metrics.auc(1 - tn_rates, tp_rates)
+        except Exception:
+            pass
+
+        try:
+            dct['eer'] = brentq(
+                lambda x: 1. - x - interpolate.interp1d(1 - tn_rates, tp_rates)(x),
+                0., 1.)
+        except Exception:
+            pass
+
+        def get(name):
+            return [getattr(m, name) for m in self.conf_matrix_test]
+
+        for key in ('accuracy', 'precision', 'tp_rates', 'tn_rates', 'threshold'):
+            x = get(key)
+            dct[key] = np.mean(x)
+            dct[key + '_std'] = np.std(x)
+
+        return dct
+
+
+class FaceToFaceValidation:
+    """K-fold face-to-face validation (ref statistics.py:237-331).
+
+    Protocol parity: KFold(nrof_folds, shuffle=True, random_state=0); on each
+    fold's train split pick (a) the max-accuracy threshold and (b) the
+    threshold whose FAR equals `far_target` (slinear interp); score both on
+    the test split; report across folds.
+    """
+
+    def __init__(self, embeddings, labels, config):
+        self.elapsed_time = time.monotonic()
+        self.embeddings = np.asarray(embeddings)
+        self.labels = np.asarray(labels)
+
+        assert self.embeddings.shape[0] == len(self.labels)
+
+        self.config = config
+        self.reports = None
+
+        metric = int(config.metric or 0)
+        if metric == 0:
+            upper_threshold = 4
+        elif metric == 1:
+            upper_threshold = np.pi
+        else:
+            raise ValueError('Undefined similarity metric {}'.format(config.metric))
+
+        self.metric = metric
+        self.thresholds = np.linspace(0, upper_threshold, 100)
+
+        self._evaluate()
+
+        logger.info(str(self))
+
+    def __repr__(self):
+        info = (f'{self.__class__.__name__}\n' +
+                f'metric: {self.metric}\n\n')
+        for r in self.reports:
+            info += str(r)
+        info += f'elapsed_time: {self.elapsed_time}\n'
+        return info
+
+    def _evaluate(self):
+        from sklearn.model_selection import KFold
+
+        nrof_folds = int(self.config.nrof_folds or 10)
+        far_target = float(self.config.far_target or 1e-3)
+
+        k_fold = KFold(n_splits=nrof_folds, shuffle=True, random_state=0)
+        indices = np.arange(len(self.labels))
+
+        self.reports = (
+            Report(criterion='MaximumAccuracy'),
+            Report(criterion='FalseAlarmRate(FAR = {})'.format(far_target)),
+        )
+
+        for fold_idx, (train_set, test_set) in enumerate(k_fold.split(indices)):
+            calculator = SimilarityCalculator(
+                self.embeddings[train_set], self.labels[train_set], metric=self.metric)
+
+            matrix = ConfidenceMatrix(calculator, self.thresholds)
+            for i in range(len(self.reports)):
+                self.reports[i].append_fold('train', matrix)
+
+            accuracy_threshold = self.thresholds[np.argmax(matrix.accuracy)]
+
+            # reference uses interp1d(fp_rates, thresholds, kind='slinear')
+            # (ref :301); modern scipy rejects the duplicate x values that FAR
+            # plateaus produce, so use np.interp over the (non-decreasing)
+            # fp_rate curve — identical linear interpolation at the crossing
+            far_threshold = 0
+            if np.max(matrix.fp_rates) >= far_target:
+                far_threshold = float(np.interp(far_target, matrix.fp_rates,
+                                                self.thresholds))
+
+            calculator = SimilarityCalculator(
+                self.embeddings[test_set], self.labels[test_set], metric=self.metric)
+
+            self.reports[0].append_fold('test', ConfidenceMatrix(calculator, accuracy_threshold))
+            self.reports[1].append_fold('test', ConfidenceMatrix(calculator, far_threshold))
+
+        self.elapsed_time = time.monotonic() - self.elapsed_time
+
+    @property
+    def dict(self):
+        return {r.criterion: r.dict for r in self.reports}
+
+    def write_report(self, file):
+        file = Path(str(file)).expanduser()
+        file.parent.mkdir(parents=True, exist_ok=True)
+
+        with file.open('at') as f:
+            f.write(64 * '-' + '\n')
+            f.write('{} {}\n'.format(self.__class__.__name__, datetime.datetime.now()))
+            f.write('metric: {}\n\n'.format(self.metric))
+            for r in self.reports:
+                f.write(str(r))
+
+    def write_h5file(self, h5file, tag=None):
+        h5utils.write_dict(h5file, self.dict, group=tag)
