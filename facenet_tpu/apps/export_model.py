@@ -1,0 +1,46 @@
+"""Export a training checkpoint as a deployable model bundle (+ optional
+per-layer activation h5 dump for parity testing).
+
+Parity: reference apps/export_frozen_graph.py + export_frozen_graph_h5.py
+(frozen-graph export with smoke-test forward; per-layer h5 dump).
+"""
+
+import click
+from pathlib import Path
+
+import numpy as np
+
+from facenet_tpu import export
+
+
+@click.command()
+@click.option('--model-dir', type=Path, required=True,
+              help='Model bundle directory to load (or re-export).')
+@click.option('--output', type=Path, required=True,
+              help='Output bundle directory.')
+@click.option('--h5', 'h5file', type=Path, default=None,
+              help='Also dump per-layer activations/weights to this h5 file.')
+def main(**options):
+    bundle = export.load_model(options['model_dir'])
+
+    path = export.save_model(options['output'], bundle.model,
+                             bundle.variables)
+
+    # smoke-test forward on zeros (ref export_frozen_graph.py:52-58)
+    import jax
+    size = bundle.model.image_size
+    imgs = np.zeros((1, size, size, 3), np.uint8)
+    out = jax.jit(lambda v, x: bundle.model.apply(v, x, train=False))(
+        bundle.variables, imgs)
+    print(f'smoke forward: input {imgs.shape} -> output {tuple(out.shape)}')
+
+    if options['h5file']:
+        export.export_h5(options['h5file'], bundle.model, bundle.variables,
+                         imgs)
+        print('activation dump:', options['h5file'])
+
+    print('exported to', path)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,99 @@
+"""Train the embedding network with softmax cross-entropy (+ optional center
+and triplet losses) under pjit data parallelism.
+
+Parity: reference apps/train_softmax.py (SURVEY.md §3.1) — Database ->
+batched pipeline -> backbone + logits head -> Adam(eps=0.1) with the
+piecewise LR schedule -> per-epoch checkpoints -> every-N-epochs validation
+-> final model export.
+"""
+
+import click
+from pathlib import Path
+
+from facenet_tpu import callbacks, config, dataset, export, ioutils, logging
+from facenet_tpu.train.checkpoint import CheckpointManager
+from facenet_tpu.train.softmax import SoftmaxTrainer
+
+
+@click.command()
+@click.option('--config', 'config_file', default=None, type=Path,
+              help='Path to yaml config file with used options of the application.')
+def main(**options):
+    cfg = config.train_softmax({'config': options['config_file']},
+                               app_file_name=__file__)
+    logging.configure_logging(cfg.logs)
+
+    # ------------------------------------------------------------------
+    # datasets
+    loader = dataset.ImageLoader(config=cfg.image)
+
+    train_dbase = dataset.Database(cfg.dataset)
+    ioutils.write_text_log(cfg.logs.dir / 'report.txt', train_dbase)
+
+    def train_batches():
+        return train_dbase.batches(loader, batch_size=int(cfg.batch_size),
+                                   shuffle=True, repeat=True,
+                                   drop_remainder=True, seed=int(cfg.seed))
+
+    test_dbase = dataset.Database(cfg.validate.dataset)
+
+    def test_batches():
+        return test_dbase.batches(loader, batch_size=int(cfg.batch_size))
+
+    # ------------------------------------------------------------------
+    # trainer + state
+    model_cfg = cfg.model.config.as_dict if cfg.model.config else None
+    trainer = SoftmaxTrainer(cfg, nrof_classes=train_dbase.nrof_classes,
+                             model_cfg=model_cfg)
+    state = trainer.init_state(seed=int(cfg.seed))
+
+    ckpt = CheckpointManager(cfg.model.path / 'checkpoints',
+                             max_to_keep=cfg.checkpoint.max_to_keep or 3)
+
+    if cfg.model.checkpoint:
+        restore_mgr = CheckpointManager(cfg.model.checkpoint)
+        restored = restore_mgr.restore(state)
+        if restored is not None:
+            state = restored
+            print(f'Restored checkpoint step {int(state.step)} '
+                  f'from {cfg.model.checkpoint}')
+        restore_mgr.close()
+
+    validate_cb = callbacks.ValidateCallback(
+        forward_factory=trainer.embedding_forward,
+        batches_factory=test_batches,
+        every_n_epochs=cfg.validate.every_n_epochs,
+        max_nrof_epochs=cfg.train.epoch.max_nrof_epochs,
+        config=cfg.validate,
+        report_file=cfg.logs.dir / 'report.txt',
+        h5file=cfg.logs.dir / 'report.h5')
+
+    # ------------------------------------------------------------------
+    # epoch loop
+    max_epochs = int(cfg.train.epoch.max_nrof_epochs)
+    batches_iter = iter(train_batches())
+
+    for epoch in range(max_epochs):
+        state, metrics = trainer.train_epoch(state, batches_iter, epoch)
+        print(f'epoch [{epoch + 1}/{max_epochs}] ' +
+              ' '.join(f'{k}={v:.4f}' for k, v in metrics.items()))
+        ioutils.write_text_log(
+            cfg.logs.dir / 'report.txt',
+            f'epoch [{epoch + 1}/{max_epochs}] {metrics}')
+
+        ckpt.save(int(state.step), state)
+        validate_cb.on_epoch_end(epoch, state)
+
+    # final export as a deployable bundle
+    variables = {
+        'params': state.params['backbone'],
+        'batch_stats': state.batch_stats['backbone'],
+    }
+    export.save_model(cfg.model.path, trainer.backbone, variables)
+    ckpt.close()
+
+    print(f'Model and logs have been saved to the directory: {cfg.model.path}')
+
+
+if __name__ == '__main__':
+    main()

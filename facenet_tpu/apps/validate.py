@@ -1,0 +1,40 @@
+"""Validate a face recognizer: embeddings + 10-fold pair accuracy/ROC/EER.
+
+Parity: reference apps/validate.py (dataset -> EvaluationOfEmbeddings ->
+FaceToFaceValidation -> text report).
+"""
+
+import click
+from pathlib import Path
+
+from facenet_tpu import config, dataset, facenet, ioutils, statistics
+
+start_time = ioutils.get_time()
+
+
+@click.command()
+@click.option('--config', 'config_file', default=None, type=Path,
+              help='Path to yaml config file with used options for the application.')
+def main(**options):
+    options = config.validate(__file__, {'config': options['config_file']})
+    options.model.normalize = True
+
+    dbase = dataset.DBase(options.dataset)
+    ioutils.write_text_log(options.logfile, dbase)
+    print(dbase)
+
+    embeddings = facenet.EvaluationOfEmbeddings(dbase, options)
+    ioutils.write_text_log(options.logfile, embeddings)
+    print(embeddings)
+
+    validate = statistics.FaceToFaceValidation(
+        embeddings.embeddings, embeddings.labels, options.validate)
+    ioutils.write_text_log(options.logfile, validate)
+    print(validate)
+
+    ioutils.write_elapsed_time(options.logfile, start_time)
+    print('Report has been written to the file', options.logfile)
+
+
+if __name__ == '__main__':
+    main()

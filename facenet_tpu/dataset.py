@@ -149,11 +149,11 @@ class Database:
 
     @property
     def min_nrof_images(self):
-        return min(cls.nrof_images for cls in self.classes)
+        return min((cls.nrof_images for cls in self.classes), default=0)
 
     @property
     def max_nrof_images(self):
-        return max(cls.nrof_images for cls in self.classes)
+        return max((cls.nrof_images for cls in self.classes), default=0)
 
     @property
     def nrof_classes(self):

@@ -1,0 +1,149 @@
+"""Detection facade: uniform `detect(image) -> [BoundingBox]` API.
+
+Parity with the reference facade (reference detectors/face_detector.py:99-122):
+the same `FaceDetector` / `BoundingBox` / margin-crop `image_processing`
+surface, but the backend is the native TPU MTCNN cascade
+(facenet_tpu/detectors/mtcnn/) instead of the external pip package; the
+'pypimtcnn' detector name is accepted as an alias. Single-image `detect` is
+kept for API compatibility; `detect_batch` is the TPU-native fast path.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from PIL import Image
+
+
+def image_processing(image, box, options):
+    """Margin-crop + resize a detected face (ref face_detector.py:9-26).
+
+    :param image: PIL.Image
+    :param box: BoundingBox
+    :param options: config with `.size` and `.margin`
+    """
+    if not isinstance(image, Image.Image):
+        raise ValueError('Input must be PIL.Image')
+
+    margin = float(options.margin or 0)
+    size = int(options.size)
+
+    w_margin = round(box.width * margin / 2)
+    h_margin = round(box.height * margin / 2)
+
+    cropped = image.crop((box.left - w_margin, box.top - h_margin,
+                          box.right + w_margin, box.bottom + h_margin))
+
+    width = math.ceil(size + size * margin)
+    height = math.ceil(size + size * margin)
+
+    resampling = getattr(Image, 'Resampling', Image)
+    return cropped.resize((width, height), resampling.LANCZOS)
+
+
+class BoundingBox:
+    """Integer-rounded face box with confidence (ref face_detector.py:29-60)."""
+
+    def __init__(self, left, top, width, height, confidence=None,
+                 landmarks=None):
+        self.left = int(np.round(left))
+        self.right = int(np.round(left + width)) + 1
+
+        self.top = int(np.round(top))
+        self.bottom = int(np.round(top + height)) + 1
+
+        self.width = self.right - self.left - 1
+        self.height = self.bottom - self.top - 1
+        self.confidence = confidence
+        self.landmarks = landmarks      # optional [5, 2] (x, y) points
+
+    def info(self, mode=False):
+        if mode is False:
+            return '{}'.format([self.left, self.top, self.width, self.height,
+                                self.confidence])
+        return ('left = {}, top = {}, width = {}, height = {}, '
+                'confidence = {}'.format(self.left, self.top, self.width,
+                                         self.height, self.confidence))
+
+    def __repr__(self):
+        return self.info(mode=True)
+
+    @property
+    def left_upper(self):
+        return self.left, self.top
+
+    @property
+    def right_lower(self):
+        return self.right, self.bottom
+
+    @property
+    def confidence_as_string(self):
+        return str(np.round(self.confidence, 3))
+
+
+class FaceDetector:
+    """Facade selecting a detection backend (ref face_detector.py:99-122).
+
+    Supported: 'mtcnn' (native TPU cascade; 'pypimtcnn' is an alias).
+    The reference's 'frcnnv3' frozen-TF1-graph backend has no TPU-native
+    equivalent (its weights are absent from the reference tree,
+    SURVEY.md §2 #14) and raises a clear error.
+    """
+
+    def __init__(self, detector='mtcnn', image_shape=(480, 640),
+                 params=None, **kwargs):
+        self.detector = detector
+
+        if detector in ('mtcnn', 'pypimtcnn'):
+            from facenet_tpu.detectors.mtcnn.cascade import MTCNN
+            self.mode = 'RGB'
+            self._mtcnn = MTCNN(image_shape=image_shape, params=params,
+                                **kwargs)
+        elif detector == 'frcnnv3':
+            raise NotImplementedError(
+                "the 'frcnnv3' frozen-TF1-graph detector is not available in "
+                "facenet_tpu (its weights are missing from the reference); "
+                "use detector='mtcnn'")
+        else:
+            raise ValueError(
+                'Undefined face detector type {}'.format(detector))
+
+    def detect(self, image):
+        """Single-image detect -> list of BoundingBox (reference API)."""
+        return self.detect_images([np.asarray(image)])[0]
+
+    def detect_images(self, images):
+        """Batched detect over arbitrary-size uint8 images.
+
+        Letterboxes to the fixed cascade geometry, runs the jitted cascade
+        once for the whole batch, and maps boxes back to original pixels.
+        """
+        from facenet_tpu.detectors.mtcnn.cascade import letterbox_batch
+
+        batch, scales, pads = letterbox_batch(
+            [np.asarray(img) for img in images], self._mtcnn.image_shape)
+        out = self._mtcnn.detect_batch(batch)
+
+        results = []
+        for i in range(len(images)):
+            boxes_i = []
+            for k in range(out['boxes'].shape[1]):
+                if not out['valid'][i, k]:
+                    continue
+                x1, y1, x2, y2 = out['boxes'][i, k]
+                # undo letterboxing
+                x1 = (x1 - pads[i, 0]) / scales[i]
+                x2 = (x2 - pads[i, 0]) / scales[i]
+                y1 = (y1 - pads[i, 1]) / scales[i]
+                y2 = (y2 - pads[i, 1]) / scales[i]
+                lmk = (out['landmarks'][i, k] - pads[i][None, :]) / scales[i]
+                boxes_i.append(BoundingBox(
+                    left=x1, top=y1, width=x2 - x1, height=y2 - y1,
+                    confidence=float(out['scores'][i, k]), landmarks=lmk))
+            results.append(boxes_i)
+        return results
+
+    def __repr__(self):
+        return (f'class {self.__class__.__name__}\n' +
+                f'detector type: {self.detector}')

@@ -1,0 +1,263 @@
+"""Batched MTCNN detection cascade, end-to-end on TPU.
+
+The reference's detection path is one-image-per-session-call host loops
+(SURVEY.md §3.2: "Entirely serial, one image per sess.run — the throughput
+bottleneck the TPU rebuild must remove"). This module is the redesign:
+
+  * FIXED input geometry: images are letterboxed to a static (H, W); the
+    image pyramid is a static list of scales derived from min_face_size and
+    the scale factor — every stage traces once and reuses the executable.
+  * FIXED capacities: proposals live in [B, K, 4] buffers with validity
+    masks (K_pnet -> K_rnet -> K_onet), so threshold/NMS/top-k never produce
+    ragged shapes (SURVEY.md §7 "Hard parts").
+  * ONE jitted function runs the whole cascade for a batch of images:
+    pyramid resizes, P/R/O-Net convs (MXU), NMS + regression + crop-gathers
+    (VPU), landmark output. No host round-trips between stages.
+
+Stage protocol (thresholds/NMS from the MTCNN paper, arXiv:1604.02878):
+  P-Net over each pyramid level -> score >= t1, per-level NMS 0.5 ->
+  cross-level NMS 0.7, bbox regression, square;
+  R-Net on 24x24 crops -> score >= t2, NMS 0.7, regression, square;
+  O-Net on 48x48 crops -> score >= t3, regression, NMS 0.7 (mode 'min'),
+  5 landmarks.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from facenet_tpu.detectors.mtcnn.networks import (ONet, PNet, RNet,
+                                                  normalize_crops)
+from facenet_tpu.ops.image_ops import align_by_landmarks, crop_and_resize
+from facenet_tpu.ops.nms import (apply_bbox_regression, batched_nms_mask,
+                                 square_boxes, top_k_boxes)
+
+PNET_CELL = 12
+PNET_STRIDE = 2
+
+
+def pyramid_scales(height, width, min_face_size=20, factor=0.709,
+                   min_level=12):
+    """Static list of pyramid scales (largest first)."""
+    m = PNET_CELL / float(min_face_size)
+    min_side = min(height, width) * m
+    scales = []
+    s = m
+    side = min_side
+    while side >= min_level:
+        scales.append(s)
+        s *= factor
+        side *= factor
+    return scales
+
+
+class MTCNN:
+    """Batched TPU MTCNN detector.
+
+    Usage:
+        det = MTCNN(image_shape=(480, 640))
+        out = det.detect_batch(images_uint8)   # [B, H, W, 3]
+        out['boxes'], out['scores'], out['landmarks'], out['valid']
+    """
+
+    def __init__(self, image_shape=(480, 640), min_face_size=20,
+                 factor=0.709, thresholds=(0.6, 0.7, 0.7),
+                 max_proposals=256, max_refined=64, max_outputs=32,
+                 params=None, seed=0, dtype=jnp.bfloat16):
+        self.image_shape = (int(image_shape[0]), int(image_shape[1]))
+        self.min_face_size = min_face_size
+        self.factor = factor
+        self.thresholds = tuple(thresholds)
+        self.k_pnet = int(max_proposals)
+        self.k_rnet = int(max_refined)
+        self.k_onet = int(max_outputs)
+
+        self.pnet = PNet(dtype=dtype)
+        self.rnet = RNet(dtype=dtype)
+        self.onet = ONet(dtype=dtype)
+
+        self.scales = pyramid_scales(*self.image_shape,
+                                     min_face_size=min_face_size,
+                                     factor=factor)
+        if not self.scales:
+            raise ValueError(
+                f'image {self.image_shape} too small for min_face_size '
+                f'{min_face_size}')
+
+        self.params = params if params is not None else self.init_params(seed)
+        self._detect_jit = jax.jit(self._detect)
+        self._align_jit = {}
+
+    # ------------------------------------------------------------------
+    def init_params(self, seed=0):
+        key = jax.random.PRNGKey(seed)
+        k1, k2, k3 = jax.random.split(key, 3)
+        h, w = self.image_shape
+        return {
+            'pnet': self.pnet.init(k1, jnp.zeros((1, 24, 24, 3)))['params'],
+            'rnet': self.rnet.init(k2, jnp.zeros((1, 24, 24, 3)))['params'],
+            'onet': self.onet.init(k3, jnp.zeros((1, 48, 48, 3)))['params'],
+        }
+
+    # ------------------------------------------------------------------
+    def _pnet_level(self, params, images_f32, scale):
+        """Run P-Net on one pyramid level; return fixed-size candidate set."""
+        h, w = self.image_shape
+        sh = int(math.ceil(h * scale))
+        sw = int(math.ceil(w * scale))
+
+        scaled = jax.image.resize(
+            images_f32, (images_f32.shape[0], sh, sw, 3), method='bilinear')
+        probs, reg = self.pnet.apply({'params': params['pnet']},
+                                     normalize_crops(scaled))
+        # probs: [B, gh, gw]; each cell -> 12x12 window at stride 2 in the
+        # scaled image -> divide by scale for original coordinates
+        b, gh, gw = probs.shape
+
+        ys = jnp.arange(gh, dtype=jnp.float32) * PNET_STRIDE
+        xs = jnp.arange(gw, dtype=jnp.float32) * PNET_STRIDE
+        y1 = (ys[:, None] * jnp.ones((1, gw))) / scale
+        x1 = (xs[None, :] * jnp.ones((gh, 1))) / scale
+        cell = PNET_CELL / scale
+
+        base = jnp.stack([x1, y1, x1 + cell, y1 + cell], axis=-1)  # [gh,gw,4]
+        base = jnp.broadcast_to(base[None], (b, gh, gw, 4))
+
+        boxes = apply_bbox_regression(base.reshape(b, -1, 4),
+                                      reg.reshape(b, -1, 4))
+        scores = probs.reshape(b, -1)
+        valid = scores >= self.thresholds[0]
+
+        # per-level NMS 0.5 after top-k pre-selection to bound K
+        k = min(self.k_pnet, boxes.shape[1])
+        boxes, scores, valid = jax.vmap(
+            partial(top_k_boxes, k=k))(boxes, scores, valid)
+        keep = batched_nms_mask(boxes, scores, valid, 0.5)
+        return boxes, scores, valid & keep
+
+    def _detect(self, params, images):
+        images_f32 = images.astype(jnp.float32)
+        b = images.shape[0]
+
+        # ---- stage 1: P-Net over the pyramid
+        all_boxes, all_scores, all_valid = [], [], []
+        for scale in self.scales:
+            bx, sc, va = self._pnet_level(params, images_f32, scale)
+            all_boxes.append(bx)
+            all_scores.append(sc)
+            all_valid.append(va)
+
+        boxes = jnp.concatenate(all_boxes, axis=1)
+        scores = jnp.concatenate(all_scores, axis=1)
+        valid = jnp.concatenate(all_valid, axis=1)
+
+        # cross-level NMS 0.7 on the top-K_pnet proposals
+        boxes, scores, valid = jax.vmap(
+            partial(top_k_boxes, k=self.k_pnet))(boxes, scores, valid)
+        keep = batched_nms_mask(boxes, scores, valid, 0.7)
+        valid = valid & keep
+        boxes = square_boxes(boxes)
+
+        # ---- stage 2: R-Net on 24x24 crops
+        boxes, scores, valid = jax.vmap(
+            partial(top_k_boxes, k=self.k_rnet))(boxes, scores, valid)
+        crops = crop_and_resize(images_f32, boxes, 24)       # [B,K,24,24,3]
+        flat = crops.reshape((-1, 24, 24, 3))
+        probs, reg = self.rnet.apply({'params': params['rnet']},
+                                     normalize_crops(flat))
+        probs = probs.reshape(b, -1)
+        reg = reg.reshape(b, -1, 4)
+
+        valid = valid & (probs >= self.thresholds[1])
+        scores = probs
+        keep = batched_nms_mask(boxes, scores, valid, 0.7)
+        valid = valid & keep
+        boxes = square_boxes(apply_bbox_regression(boxes, reg))
+
+        # ---- stage 3: O-Net on 48x48 crops
+        boxes, scores, valid = jax.vmap(
+            partial(top_k_boxes, k=self.k_onet))(boxes, scores, valid)
+        crops = crop_and_resize(images_f32, boxes, 48)
+        flat = crops.reshape((-1, 48, 48, 3))
+        probs, reg, lmk = self.onet.apply({'params': params['onet']},
+                                          normalize_crops(flat))
+        probs = probs.reshape(b, -1)
+        reg = reg.reshape(b, -1, 4)
+        lmk = lmk.reshape(b, -1, 10)
+
+        valid = valid & (probs >= self.thresholds[2])
+        scores = probs
+
+        # landmarks are predicted relative to the (square) box
+        w = (boxes[..., 2] - boxes[..., 0])[..., None]
+        h = (boxes[..., 3] - boxes[..., 1])[..., None]
+        lx = boxes[..., 0:1] + lmk[..., 0:5] * w
+        ly = boxes[..., 1:2] + lmk[..., 5:10] * h
+        landmarks = jnp.stack([lx, ly], axis=-1)             # [B,K,5,2]
+
+        boxes = apply_bbox_regression(boxes, reg)
+        keep = batched_nms_mask(boxes, scores, valid, 0.7, mode='min')
+        valid = valid & keep
+
+        return {
+            'boxes': boxes,                  # [B, K_onet, 4] (x1,y1,x2,y2)
+            'scores': jnp.where(valid, scores, 0.0),
+            'landmarks': landmarks,          # [B, K_onet, 5, 2]
+            'valid': valid,
+        }
+
+    # ------------------------------------------------------------------
+    def detect_batch(self, images):
+        """Detect faces in a uint8 [B, H, W, 3] batch (H, W must match
+        image_shape; letterbox first via `letterbox_batch` if needed)."""
+        images = jnp.asarray(images)
+        if images.shape[1:3] != self.image_shape:
+            raise ValueError(
+                f'expected {self.image_shape} images, got {images.shape[1:3]}'
+                ' — use letterbox_batch()')
+        return jax.device_get(self._detect_jit(self.params, images))
+
+    def align_batch(self, images, landmarks, out_size=160):
+        """Landmark-based alignment of detected faces (one face per image)."""
+        key = int(out_size)
+        if key not in self._align_jit:
+            self._align_jit[key] = jax.jit(
+                lambda imgs, lmk: align_by_landmarks(imgs, lmk, key))
+        return jax.device_get(
+            self._align_jit[key](jnp.asarray(images, jnp.float32),
+                                 jnp.asarray(landmarks)))
+
+
+def letterbox_batch(images, target_shape):
+    """Host-side: pad/scale arbitrary-size images to a fixed shape.
+
+    Returns (batch [B, H, W, 3] uint8, scales [B], pads [B, 2]) such that
+    original_coords = (letterboxed_coords - pad) / scale.
+    """
+    from PIL import Image
+
+    th, tw = target_shape
+    out = np.zeros((len(images), th, tw, 3), np.uint8)
+    scales = np.zeros((len(images),), np.float32)
+    pads = np.zeros((len(images), 2), np.float32)
+
+    for i, img in enumerate(images):
+        h, w = img.shape[:2]
+        scale = min(th / h, tw / w)
+        nh, nw = int(round(h * scale)), int(round(w * scale))
+        if (nh, nw) != (h, w):
+            img = np.asarray(Image.fromarray(img).resize((nw, nh),
+                                                         Image.BILINEAR))
+        top = (th - nh) // 2
+        left = (tw - nw) // 2
+        out[i, top:top + nh, left:left + nw] = img
+        scales[i] = scale
+        pads[i] = (left, top)
+
+    return out, scales, pads

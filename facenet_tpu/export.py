@@ -1,0 +1,145 @@
+"""Model export and deployment bundles.
+
+The TPU-native counterpart of the reference's freeze/export machinery
+(SURVEY.md §2 #21, reference tfutils.py:56-129 frozen-graph export and
+tfutils.py:132-264 per-layer h5 dump with BN folding). A frozen TF graph has
+no JAX equivalent; the deployment artifact here is a *model bundle*
+directory:
+
+    <path>/
+      model.yaml        — architecture config + image preprocessing contract
+      params.msgpack    — flax serialized {params, batch_stats}
+
+plus `export_h5` which dumps every intermediate activation for a fixed input
+batch together with all weights — the layer-wise numeric-parity harness the
+reference's export_h5 provides (its strongest testing pattern, SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+import yaml
+from flax import serialization
+
+from facenet_tpu import h5utils
+from facenet_tpu.config import Config
+from facenet_tpu.models.inception_resnet_v1 import InceptionResnetV1
+
+MODEL_FILE = 'model.yaml'
+PARAMS_FILE = 'params.msgpack'
+
+
+@dataclasses.dataclass
+class ModelBundle:
+    model: Any
+    variables: Any
+    meta: dict
+
+
+def save_model(path, model, variables, extra_meta=None):
+    """Write a deployable model bundle.
+
+    :param model: InceptionResnetV1 instance (architecture source of truth)
+    :param variables: {'params': ..., 'batch_stats': ...}
+    """
+    path = Path(str(path)).expanduser()
+    path.mkdir(parents=True, exist_ok=True)
+
+    cfg = model.config
+    if isinstance(cfg, Config):
+        cfg = cfg.as_dict
+    elif cfg is not None and not isinstance(cfg, dict):
+        cfg = dict(cfg)
+
+    meta = {
+        'model_class': 'InceptionResnetV1',
+        'config': cfg,
+        'image_size': int(model.image_size),
+        'normalization': int(model.normalization),
+        'version': 1,
+    }
+    if extra_meta:
+        meta.update(extra_meta)
+
+    with (path / MODEL_FILE).open('wt') as f:
+        yaml.safe_dump(meta, f)
+
+    variables = jax.device_get(variables)
+    with (path / PARAMS_FILE).open('wb') as f:
+        f.write(serialization.to_bytes(variables))
+
+    return path
+
+
+def load_model(path):
+    """Load a model bundle saved by `save_model`."""
+    path = Path(str(path)).expanduser()
+
+    with (path / MODEL_FILE).open('rt') as f:
+        meta = yaml.safe_load(f)
+
+    if meta.get('model_class') == 'InceptionResnetV2':
+        from facenet_tpu.models.inception_resnet_v2 import InceptionResnetV2
+        model_cls = InceptionResnetV2
+    else:
+        model_cls = InceptionResnetV1
+
+    model = model_cls(config=meta.get('config'),
+                      image_size=int(meta.get('image_size', 160)),
+                      normalization=int(meta.get('normalization', 0)))
+
+    # build the variable structure, then overwrite with stored bytes
+    dummy = np.zeros((1, model.image_size, model.image_size, 3), np.uint8)
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), dummy, train=False))
+    template = jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), template)
+
+    with (path / PARAMS_FILE).open('rb') as f:
+        variables = serialization.from_bytes(template, f.read())
+
+    return ModelBundle(model=model, variables=variables, meta=meta)
+
+
+def export_h5(h5file, model, variables, images, batch_size=None):
+    """Dump per-layer activations + all weights to h5 for parity testing.
+
+    Mirrors the role of reference tfutils.export_h5 (tfutils.py:132-264):
+    activations of every submodule for a fixed input batch, plus every
+    parameter array. BN folding is unnecessary — JAX inference BN is already
+    a pure (scale, offset) affine read from batch_stats, which are exported
+    as-is.
+    """
+    h5file = Path(str(h5file)).expanduser()
+
+    images = np.asarray(images)
+    _, intermediates = model.apply(
+        variables, images, train=False,
+        capture_intermediates=True, mutable=['intermediates'])
+
+    def walk(tree, prefix, sink):
+        if isinstance(tree, (dict,)) or hasattr(tree, 'items'):
+            for key, item in tree.items():
+                walk(item, f'{prefix}/{key}' if prefix else str(key), sink)
+        elif isinstance(tree, (tuple, list)):
+            for i, item in enumerate(tree):
+                walk(item, f'{prefix}/{i}', sink)
+        else:
+            sink(prefix, np.asarray(tree))
+
+    def write(name, arr):
+        if str(arr.dtype) == 'bfloat16':   # h5py cannot store ml_dtypes bf16
+            arr = arr.astype(np.float32)
+        h5utils.write(h5file, name, arr)
+
+    walk(jax.device_get(intermediates['intermediates']), 'activations', write)
+    walk(jax.device_get(variables['params']), 'weights', write)
+    walk(jax.device_get(variables['batch_stats']), 'batch_stats', write)
+    h5utils.write(h5file, 'input', images)
+
+    return h5file

@@ -69,6 +69,7 @@ class ConvBnRelu(nn.Module):
     strides: int = 1
     padding: str = 'SAME'
     relu: bool = True
+    momentum: float = BN_MOMENTUM
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -79,7 +80,7 @@ class ConvBnRelu(nn.Module):
                     kernel_init=nn.initializers.glorot_uniform(),
                     name='conv')(x)
         x = nn.BatchNorm(use_running_average=not train,
-                         momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                         momentum=self.momentum, epsilon=BN_EPS,
                          use_bias=True, use_scale=False,
                          dtype=self.dtype, param_dtype=jnp.float32,
                          name='bn')(x)

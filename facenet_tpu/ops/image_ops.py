@@ -1,0 +1,167 @@
+"""Batched image sampling ops: crop-and-resize and affine (similarity) warps.
+
+These are the device-side equivalents of the host-side PIL crop/resize the
+reference does one image at a time (reference detectors/face_detector.py:9-26)
+and the landmark-based alignment the reference delegates to the external
+`mtcnn` package (SURVEY.md §2 #13). Everything is batched, fixed-shape, and
+bilinear — gathers on the VPU, no host round-trips.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _bilinear_sample(image, ys, xs):
+    """Sample one [H, W, C] image at float coords (ys, xs) [..., ] -> [..., C].
+
+    Out-of-bounds samples clamp to the edge (sufficient for face crops which
+    are mostly inside; MTCNN zero-pads, but clamping avoids a second mask and
+    differs only on border pixels of partially-outside boxes).
+    """
+    h, w = image.shape[0], image.shape[1]
+
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    wy = ys - y0
+    wx = xs - x0
+
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    x1i = jnp.clip(x0i + 1, 0, w - 1)
+
+    f = image.astype(jnp.float32)
+    v00 = f[y0i, x0i]
+    v01 = f[y0i, x1i]
+    v10 = f[y1i, x0i]
+    v11 = f[y1i, x1i]
+
+    wy = wy[..., None]
+    wx = wx[..., None]
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def crop_and_resize(images, boxes, out_size):
+    """Crop boxes from a batch of images and resize to out_size x out_size.
+
+    :param images: [B, H, W, C] (any dtype; sampled as f32)
+    :param boxes: [B, K, 4] pixel-coordinate (x1, y1, x2, y2) boxes
+    :param out_size: output side length S
+    :return: [B, K, S, S, C] float32 crops
+    """
+    s = int(out_size)
+    # sample grid in [0, 1] covering the box, pixel centers at half steps
+    grid = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+
+    def crop_one(image, box):
+        x1, y1, x2, y2 = box[0], box[1], box[2], box[3]
+        ys = y1 + grid * (y2 - y1) - 0.5
+        xs = x1 + grid * (x2 - x1) - 0.5
+        yy = ys[:, None] * jnp.ones((1, s))
+        xx = xs[None, :] * jnp.ones((s, 1))
+        return _bilinear_sample(image, yy, xx)
+
+    def crop_image(image, image_boxes):
+        return jax.vmap(lambda b: crop_one(image, b))(image_boxes)
+
+    return jax.vmap(crop_image)(images, boxes)
+
+
+def affine_warp(images, matrices, out_size):
+    """Warp images by per-image 2x3 affine matrices (output -> input coords).
+
+    :param images: [B, H, W, C]
+    :param matrices: [B, 2, 3] mapping output pixel (x, y, 1) to input (x, y)
+    :param out_size: (height, width) of the output
+    :return: [B, h, w, C] float32
+    """
+    oh, ow = int(out_size[0]), int(out_size[1])
+    ys, xs = jnp.meshgrid(jnp.arange(oh, dtype=jnp.float32),
+                          jnp.arange(ow, dtype=jnp.float32), indexing='ij')
+
+    def warp_one(image, m):
+        in_x = m[0, 0] * xs + m[0, 1] * ys + m[0, 2]
+        in_y = m[1, 0] * xs + m[1, 1] * ys + m[1, 2]
+        return _bilinear_sample(image, in_y, in_x)
+
+    return jax.vmap(warp_one)(images, matrices)
+
+
+# canonical 5-point template for 112x112 aligned face crops (ArcFace layout:
+# left eye, right eye, nose, left mouth corner, right mouth corner)
+CANONICAL_LANDMARKS_112 = np.array([
+    [38.2946, 51.6963],
+    [73.5318, 51.5014],
+    [56.0252, 71.7366],
+    [41.5493, 92.3655],
+    [70.7299, 92.2041],
+], dtype=np.float32)
+
+
+def canonical_landmarks(out_size):
+    """Scale the canonical 5-point template to an out_size x out_size crop."""
+    return CANONICAL_LANDMARKS_112 * (float(out_size) / 112.0)
+
+
+def similarity_transform_from_points(src, dst):
+    """Least-squares similarity transform (Umeyama) mapping src -> dst.
+
+    :param src: [N, 2] source points (e.g. detected landmarks)
+    :param dst: [N, 2] target points (canonical template)
+    :return: [2, 3] matrix M with dst ~ M @ [src, 1]
+    """
+    src = src.astype(jnp.float32)
+    dst = dst.astype(jnp.float32)
+
+    src_mean = jnp.mean(src, axis=0)
+    dst_mean = jnp.mean(dst, axis=0)
+    src_c = src - src_mean
+    dst_c = dst - dst_mean
+
+    src_var = jnp.mean(jnp.sum(src_c ** 2, axis=1))
+
+    cov = (dst_c.T @ src_c) / src.shape[0]
+    u, s, vt = jnp.linalg.svd(cov)
+
+    d = jnp.sign(jnp.linalg.det(u) * jnp.linalg.det(vt))
+    dsign = jnp.array([1.0, 0.0]) + jnp.array([0.0, 1.0]) * d
+    rotation = (u * dsign[None, :]) @ vt
+    scale = (s[0] + s[1] * d) / jnp.maximum(src_var, 1e-10)
+
+    a = scale * rotation
+    t = dst_mean - a @ src_mean
+    return jnp.concatenate([a, t[:, None]], axis=1)
+
+
+def invert_affine(m):
+    """Invert a [2, 3] affine matrix."""
+    a = m[:, :2]
+    t = m[:, 2]
+    inv_a = jnp.linalg.inv(a)
+    inv_t = -inv_a @ t
+    return jnp.concatenate([inv_a, inv_t[:, None]], axis=1)
+
+
+def align_by_landmarks(images, landmarks, out_size):
+    """Landmark-based face alignment: warp each image so its 5 landmarks land
+    on the canonical template (the MTCNN landmark-crop capability,
+    BASELINE.json north_star).
+
+    :param images: [B, H, W, C]
+    :param landmarks: [B, 5, 2] (x, y) detected landmarks
+    :param out_size: side length of aligned output crops
+    :return: [B, out_size, out_size, C] float32 aligned crops
+    """
+    template = jnp.asarray(canonical_landmarks(out_size))
+
+    def matrix_one(lm):
+        fwd = similarity_transform_from_points(lm, template)
+        return invert_affine(fwd)     # output pixel -> input pixel
+
+    matrices = jax.vmap(matrix_one)(landmarks)
+    return affine_warp(images, matrices, (out_size, out_size))

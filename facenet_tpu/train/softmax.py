@@ -1,0 +1,275 @@
+"""Softmax (+ center / triplet) embedding training under pjit data parallelism.
+
+Rebuilds the reference training path (SURVEY.md §3.1, reference
+apps/train_softmax.py): backbone + Dense logits head over identity classes,
+sparse softmax CE with Adam(eps=0.1) (ref train_softmax.py:90-93), optional
+center loss (ref facenet.py:204-217) and triplet loss with online semi-hard
+mining (BASELINE.json configs[4]), piecewise epoch LR schedule
+(ref facenet.py:381-400), per-epoch checkpoints and every-N-epochs validation
+(ref callbacks.py:21-28).
+
+TPU-first design:
+  * one jitted `train_step` — forward, losses, grads, Adam update, BN stats
+    and center-table updates all inside a single XLA computation;
+  * GSPMD parallelism: batch sharded over the 'data' mesh axis, the wide
+    logits kernel optionally sharded over 'model' (ref's MirroredStrategy
+    all-reduce becomes XLA ICI collectives, SURVEY.md §2.8);
+  * bf16 activations; f32 params, optimizer state, loss arithmetic;
+  * host pipeline feeds uint8 batches; preprocessing runs in-model.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from pathlib import Path
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import freeze, unfreeze
+
+from facenet_tpu.config import Config
+from facenet_tpu.logging import logger
+from facenet_tpu.models.inception_resnet_v1 import (
+    WEIGHT_DECAY, InceptionResnetV1, l2_regularization)
+from facenet_tpu.ops import losses as losses_mod
+from facenet_tpu.ops.lr_schedules import schedule_from_config
+from facenet_tpu.parallel import mesh as mesh_mod
+
+
+class SoftmaxClassifier(nn.Module):
+    """Backbone + identity-logits head (ref train_softmax.py:55-64)."""
+    backbone: InceptionResnetV1
+    nrof_classes: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, images, train: bool = False):
+        # prelogits: unnormalized bottleneck embedding
+        prelogits = self.backbone(images, train=train, normalize=False)
+        logits = nn.Dense(self.nrof_classes, dtype=self.dtype,
+                          param_dtype=jnp.float32,
+                          kernel_init=nn.initializers.glorot_uniform(),
+                          bias_init=nn.initializers.zeros,
+                          name='logits')(prelogits.astype(self.dtype))
+        return logits.astype(jnp.float32), prelogits
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    centers: Any                     # [C, D] center-loss table (or None)
+    rng: Any
+
+    def replace_step(self, **kw):
+        return self.replace(**kw)
+
+
+def make_train_step(model, tx, loss_cfg, augment_cfg=None, image_size=160):
+    """Build the jitted train step closure.
+
+    Returns step(state, images, labels) -> (state, metrics).
+    """
+    center_factor = float(loss_cfg.center_factor or 0.0)
+    center_alfa = float(loss_cfg.center_alfa or 0.95)
+    triplet_factor = float(loss_cfg.triplet_factor or 0.0)
+    triplet_margin = float(loss_cfg.triplet_margin or 0.2)
+    random_crop = bool(augment_cfg.random_crop) if augment_cfg else False
+    random_flip = bool(augment_cfg.random_flip) if augment_cfg else False
+
+    def loss_fn(params, batch_stats, centers, images, labels, rng):
+        (logits, prelogits), mutated = model.apply(
+            {'params': params, 'batch_stats': batch_stats},
+            images, train=True, mutable=['batch_stats'], rngs={'dropout': rng})
+
+        ce = losses_mod.softmax_cross_entropy_with_logits(logits, labels)
+        reg = l2_regularization(params, WEIGHT_DECAY)
+        total = ce + reg
+
+        metrics = {'cross_entropy': ce, 'regularization': reg}
+
+        new_centers = centers
+        if centers is not None and center_factor > 0:
+            c_loss, new_centers = losses_mod.center_loss(
+                prelogits, labels, centers, center_alfa)
+            total = total + center_factor * c_loss
+            metrics['center_loss'] = c_loss
+
+        if triplet_factor > 0:
+            emb = prelogits.astype(jnp.float32)
+            emb = emb / jnp.sqrt(jnp.maximum(
+                jnp.sum(jnp.square(emb), axis=1, keepdims=True), 1e-10))
+            t_loss = losses_mod.triplet_semihard_loss(emb, labels,
+                                                      triplet_margin)
+            total = total + triplet_factor * t_loss
+            metrics['triplet_loss'] = t_loss
+
+        acc = jnp.mean(
+            (jnp.argmax(logits, axis=1) == labels).astype(jnp.float32))
+        metrics.update({'loss': total, 'accuracy': acc})
+
+        return total, (mutated['batch_stats'], new_centers, metrics)
+
+    def train_step(state, images, labels):
+        rng, step_rng, aug_rng = jax.random.split(state.rng, 3)
+
+        if random_crop or random_flip:
+            from facenet_tpu.ops.preprocessing import random_augment
+            images = random_augment(aug_rng, images,
+                                    random_crop=random_crop,
+                                    random_flip=random_flip,
+                                    crop_size=image_size)
+
+        grads, (batch_stats, centers, metrics) = jax.grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats,
+                                   state.centers, images, labels, step_rng)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        new_state = state.replace(
+            step=state.step + 1, params=params, batch_stats=batch_stats,
+            opt_state=opt_state, centers=centers, rng=rng)
+        return new_state, metrics
+
+    return train_step
+
+
+class SoftmaxTrainer:
+    """End-to-end trainer: mesh, state, jitted step, epoch loop, checkpoints."""
+
+    def __init__(self, cfg, nrof_classes, model_cfg=None):
+        self.cfg = cfg
+        self.nrof_classes = int(nrof_classes)
+
+        image_cfg = cfg.image
+        backbone = InceptionResnetV1(
+            config=model_cfg.as_dict if isinstance(model_cfg, Config) else model_cfg,
+            image_size=int(image_cfg.size or 160),
+            normalization=int(image_cfg.normalization or 0))
+        self.backbone = backbone
+        self.model = SoftmaxClassifier(backbone=backbone,
+                                       nrof_classes=self.nrof_classes)
+
+        self.mesh = mesh_mod.create_mesh(
+            data=cfg.mesh.data or None, model=cfg.mesh.model or 1)
+
+        steps_per_epoch = int(cfg.train.epoch.size or 1000)
+        self.steps_per_epoch = steps_per_epoch
+        self.schedule = schedule_from_config(cfg.train, steps_per_epoch)
+        self.tx = optax.adam(self.schedule,
+                             eps=float(cfg.train.adam_epsilon or 0.1))
+
+        self.image_size = int(image_cfg.size or 160)
+        self._step_fn = None
+
+    # ------------------------------------------------------------------
+    def init_state(self, seed=0):
+        rng = jax.random.PRNGKey(seed)
+        init_rng, state_rng = jax.random.split(rng)
+
+        dummy = jnp.zeros((2, self.image_size, self.image_size, 3), jnp.uint8)
+        variables = jax.jit(self.model.init, static_argnames=('train',))(
+            init_rng, dummy, train=False)
+
+        params = variables['params']
+        batch_stats = variables['batch_stats']
+
+        center_factor = float(self.cfg.loss.center_factor or 0.0)
+        embedding_dim = int(
+            params['backbone']['Bottleneck']['kernel'].shape[1])
+        centers = (jnp.zeros((self.nrof_classes, embedding_dim), jnp.float32)
+                   if center_factor > 0 else None)
+
+        opt_state = self.tx.init(params)
+
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           batch_stats=batch_stats, opt_state=opt_state,
+                           centers=centers, rng=state_rng)
+        return self.shard_state(state)
+
+    def shard_state(self, state):
+        """Place the state on the mesh: logits head sharded over 'model',
+        everything else replicated."""
+        p_shard = mesh_mod.param_shardings(self.mesh, state.params)
+        rep = mesh_mod.replicated(self.mesh)
+
+        def put(tree, shardings):
+            return jax.tree_util.tree_map(jax.device_put, tree, shardings)
+
+        opt_shard = jax.tree_util.tree_map(
+            lambda leaf: _match_opt_sharding(leaf, p_shard, self.mesh),
+            state.opt_state, is_leaf=lambda x: isinstance(x, (jnp.ndarray, np.ndarray)))
+
+        return state.replace(
+            params=put(state.params, p_shard),
+            batch_stats=jax.device_put(state.batch_stats, rep),
+            opt_state=jax.device_put(state.opt_state, rep),
+            centers=(jax.device_put(state.centers, rep)
+                     if state.centers is not None else None),
+            rng=jax.device_put(state.rng, rep),
+            step=jax.device_put(state.step, rep),
+        )
+
+    # ------------------------------------------------------------------
+    @property
+    def step_fn(self):
+        if self._step_fn is None:
+            raw = make_train_step(self.model, self.tx, self.cfg.loss,
+                                  augment_cfg=self.cfg.image,
+                                  image_size=self.image_size)
+            self._step_fn = jax.jit(raw, donate_argnums=(0,))
+        return self._step_fn
+
+    def train_epoch(self, state, batches, epoch, log_every=100):
+        """One epoch over an iterable of (images, labels) host batches."""
+        batch_shard = mesh_mod.batch_sharding(self.mesh)
+        t0 = time.monotonic()
+        metrics = None
+        n = 0
+
+        for images, labels in batches:
+            images = jax.device_put(images, batch_shard)
+            labels = jax.device_put(labels, batch_shard)
+            state, metrics = self.step_fn(state, images, labels)
+            n += 1
+            if log_every and n % log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                logger.info(
+                    f'epoch {epoch} step {n}/{self.steps_per_epoch} ' +
+                    ' '.join(f'{k}={v:.4f}' for k, v in m.items()))
+            if n >= self.steps_per_epoch:
+                break
+
+        dt = time.monotonic() - t0
+        m = {k: float(v) for k, v in (metrics or {}).items()}
+        m['epoch_time_s'] = dt
+        m['steps'] = n
+        return state, m
+
+    # ------------------------------------------------------------------
+    def embedding_forward(self, state):
+        """Jitted inference forward: uint8 images -> L2-normalized embeddings."""
+        backbone = self.backbone
+
+        @jax.jit
+        def forward(images, params, batch_stats):
+            return backbone.apply(
+                {'params': params['backbone'], 'batch_stats': batch_stats['backbone']},
+                images, train=False)
+
+        def fn(images):
+            return forward(images, state.params, state.batch_stats)
+
+        return fn
+
+
+def _match_opt_sharding(leaf, param_shardings, mesh):
+    return leaf  # optimizer state stays replicated (backbone dominates)

@@ -1,0 +1,196 @@
+"""End-to-end app tests: tiny synthetic dataset -> CLI apps -> artifacts.
+
+Mirrors SURVEY.md §4's recommended strategy: "end-to-end: tiny synthetic face
+dataset -> extract -> train 2 epochs -> validate, checking report fields
+exist and accuracy is above chance."
+"""
+
+import numpy as np
+import pytest
+import yaml
+from click.testing import CliRunner
+from pathlib import Path
+from PIL import Image
+
+import jax
+
+TINY_MODEL = {
+    'block35': {'repeat': 1, 'scale': 0.17, 'activation': 'relu'},
+    'block17': {'repeat': 1, 'scale': 0.10, 'activation': 'relu'},
+    'block8_1': {'repeat': 1, 'scale': 0.2, 'activation': 'relu'},
+    'output': {'size': 32},
+}
+
+
+@pytest.fixture(scope='module')
+def face_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp('aligned')
+    rng = np.random.RandomState(0)
+    for c in range(4):
+        d = root / f'id_{c:02d}'
+        d.mkdir()
+        base = rng.randint(0, 255, (160, 160, 3)).astype(np.float32)
+        for i in range(6):
+            img = np.clip(base + rng.randn(160, 160, 3) * 8, 0,
+                          255).astype(np.uint8)
+            Image.fromarray(img).save(d / f'{i:04d}.png')
+    return root
+
+
+@pytest.fixture(scope='module')
+def tiny_bundle(tmp_path_factory):
+    from facenet_tpu import export
+    from facenet_tpu.models.inception_resnet_v1 import InceptionResnetV1
+
+    path = tmp_path_factory.mktemp('model') / 'bundle'
+    model = InceptionResnetV1(config=TINY_MODEL)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 160, 160, 3), np.uint8), train=False)
+    export.save_model(path, model, variables)
+    return path
+
+
+def test_dataset_app(face_tree):
+    from facenet_tpu.apps.dataset import main
+    result = CliRunner().invoke(main, ['--path', str(face_tree)])
+    assert result.exit_code == 0, result.output
+    assert 'Number of classes 4' in result.output
+    assert 'number of invalid files: 0' in result.output
+
+
+def test_validate_app(face_tree, tiny_bundle, tmp_path):
+    from facenet_tpu.apps.validate import main
+
+    cfg = {
+        'dataset': {'path': str(face_tree)},
+        'model': {'path': str(tiny_bundle)},
+        'batch_size': 12,
+        'validate': {'metric': 0, 'nrof_folds': 2, 'far_target': 0.1},
+    }
+    cfg_file = tmp_path / 'validate.yaml'
+    cfg_file.write_text(yaml.safe_dump(cfg))
+
+    result = CliRunner().invoke(main, ['--config', str(cfg_file)])
+    assert result.exit_code == 0, result.output
+
+    outdir = Path(str(face_tree) + '_' + tiny_bundle.stem)
+    report = outdir / 'validate.txt'
+    assert report.exists()
+    text = report.read_text()
+    assert 'FaceToFaceValidation' in text
+    assert 'Accuracy' in text
+    assert (outdir / 'revision_info.txt').exists()
+    assert (outdir / 'validate.yaml').exists()
+
+
+def test_embeddings_app(face_tree, tiny_bundle, tmp_path):
+    from facenet_tpu.apps.embeddings import main
+    from facenet_tpu import h5utils
+
+    cfg = {
+        'dataset': {'path': str(face_tree)},
+        'model': {'path': str(tiny_bundle)},
+        'batch_size': 12,
+        'suffix': '.h5',
+    }
+    cfg_file = tmp_path / 'embeddings.yaml'
+    cfg_file.write_text(yaml.safe_dump(cfg))
+
+    result = CliRunner().invoke(main, ['--config', str(cfg_file)])
+    assert result.exit_code == 0, result.output
+
+    outfile = Path(str(face_tree) + '_' + tiny_bundle.stem) / 'embeddings.h5'
+    assert outfile.exists()
+    embs = h5utils.read(outfile, 'embeddings')
+    labels = h5utils.read(outfile, 'labels')
+    assert embs.shape == (24, 32)
+    assert len(labels) == 24
+
+
+def test_embeddings_app_tfrecord(face_tree, tiny_bundle, tmp_path):
+    from facenet_tpu.apps.embeddings import main
+    from facenet_tpu.utils.tfrecord import TFRecord
+
+    cfg = {
+        'dataset': {'path': str(face_tree)},
+        'model': {'path': str(tiny_bundle)},
+        'batch_size': 12,
+        'suffix': '.tfrecord',
+    }
+    cfg_file = tmp_path / 'embeddings.yaml'
+    cfg_file.write_text(yaml.safe_dump(cfg))
+
+    result = CliRunner().invoke(main, ['--config', str(cfg_file)])
+    assert result.exit_code == 0, result.output
+
+    outfile = Path(str(face_tree) + '_' + tiny_bundle.stem) / 'embeddings.tfrecord'
+    loaded = TFRecord(outfile)
+    assert loaded.embeddings.shape == (24, 32)
+
+
+def test_model_info_app(tiny_bundle):
+    from facenet_tpu.apps.model_info import main
+    result = CliRunner().invoke(main, ['--path', str(tiny_bundle)])
+    assert result.exit_code == 0, result.output
+    assert 'total parameters' in result.output
+    assert 'Bottleneck' in result.output
+
+
+def test_export_model_app(tiny_bundle, tmp_path):
+    from facenet_tpu.apps.export_model import main
+    out = tmp_path / 'exported'
+    h5 = tmp_path / 'dump.h5'
+    result = CliRunner().invoke(main, [
+        '--model-dir', str(tiny_bundle), '--output', str(out),
+        '--h5', str(h5)])
+    assert result.exit_code == 0, result.output
+    assert (out / 'model.yaml').exists()
+    assert (out / 'params.msgpack').exists()
+    assert h5.exists()
+    assert 'smoke forward' in result.output
+
+
+def test_train_classifier_app(tmp_path):
+    from facenet_tpu.apps.train_classifier import main
+    from facenet_tpu import h5utils
+    from conftest import make_embeddings
+
+    rng = np.random.RandomState(0)
+    embs, labels = make_embeddings(rng, nrof_classes=4, images_per_class=10,
+                                   dim=16, spread=0.1)
+    h5file = tmp_path / 'embeddings.h5'
+    h5utils.write(h5file, 'embeddings', embs)
+    h5utils.write(h5file, 'labels', labels)
+
+    cfg = {
+        'embeddings': {'path': str(h5file), 'normalize': True},
+        'classifier': {'path': str(tmp_path / 'clf')},
+        'nrof_classes_per_batch': 4,
+        'nrof_examples_per_class': 3,
+        'train': {
+            'epoch': {'max_nrof_epochs': 1, 'size': 20},
+            'learning_rate_schedule': {'initial_value': 0.05,
+                                       'decay_rate': 0.5},
+        },
+    }
+    cfg_file = tmp_path / 'train_classifier.yaml'
+    cfg_file.write_text(yaml.safe_dump(cfg))
+
+    result = CliRunner().invoke(main, ['--config', str(cfg_file)])
+    assert result.exit_code == 0, result.output
+
+    runs = list((tmp_path / 'clf').glob('*/classifier.yaml'))
+    assert len(runs) == 1
+    saved = yaml.safe_load(runs[0].read_text())
+    assert 'threshold' in saved['variables']
+
+
+def test_graft_entry_shapes():
+    import sys
+    sys.path.insert(0, '/root/repo')
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    assert callable(fn)
+    variables, images = args
+    assert images.shape == (8, 160, 160, 3)
+    assert 'params' in variables

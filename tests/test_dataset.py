@@ -52,6 +52,17 @@ def test_database_min_images_filter(image_tree):
     assert [c.name for c in db.classes] == ['alice', 'carol']
 
 
+def test_empty_database_repr(tmp_path):
+    # re-indexing an output dir with zero extracted faces must not crash
+    # (empty class list -> min/max over empty sequence)
+    (tmp_path / 'empty_class').mkdir()
+    db = dataset.Database(dataset.DefaultConfig(tmp_path))
+    assert db.nrof_classes == 0
+    assert db.min_nrof_images == 0
+    assert db.max_nrof_images == 0
+    assert 'Number of classes 0' in repr(db)
+
+
 def test_crop_or_pad():
     img = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)
     out = dataset.crop_or_pad(img, 9, 3)

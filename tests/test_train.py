@@ -1,0 +1,193 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from facenet_tpu.config import Config
+from facenet_tpu.parallel import mesh as mesh_mod
+from facenet_tpu.train.softmax import SoftmaxTrainer
+
+TINY_MODEL = {
+    'block35': {'repeat': 1, 'scale': 0.17, 'activation': 'relu'},
+    'block17': {'repeat': 1, 'scale': 0.10, 'activation': 'relu'},
+    'block8_1': {'repeat': 1, 'scale': 0.2, 'activation': 'relu'},
+    'output': {'size': 32},
+}
+
+NROF_CLASSES = 4
+
+
+def train_cfg(**loss_overrides):
+    loss = {'center_alfa': 0.95, 'center_factor': 0.0,
+            'triplet_margin': 0.2, 'triplet_factor': 0.0}
+    loss.update(loss_overrides)
+    return Config({
+        'batch_size': 8,
+        'image': {'size': 160, 'normalization': 0,
+                  'random_crop': False, 'random_flip': False},
+        'mesh': {'data': 4, 'model': 2},
+        'train': {
+            'adam_epsilon': 0.1,
+            'epoch': {'size': 3, 'max_nrof_epochs': 1},
+            'learning_rate': {'value': None, 'schedule': [[100, 0.01]]},
+        },
+        'loss': loss,
+    })
+
+
+def synthetic_batches(n_batches, batch=8, size=160, seed=0):
+    rng = np.random.RandomState(seed)
+    bases = rng.randint(0, 255, (NROF_CLASSES, size, size, 3)).astype(np.float32)
+    out = []
+    for _ in range(n_batches):
+        labels = rng.randint(0, NROF_CLASSES, batch)
+        imgs = np.clip(bases[labels] + rng.randn(batch, size, size, 3) * 10,
+                       0, 255).astype(np.uint8)
+        out.append((imgs, labels.astype(np.int32)))
+    return out
+
+
+@pytest.fixture(scope='module')
+def trainer():
+    return SoftmaxTrainer(train_cfg(), NROF_CLASSES, model_cfg=TINY_MODEL)
+
+
+@pytest.fixture
+def trainer_and_state(trainer):
+    # fresh state per test: the train step donates its input state buffers
+    return trainer, trainer.init_state(seed=0)
+
+
+def test_mesh_creation():
+    mesh = mesh_mod.create_mesh(data=4, model=2)
+    assert mesh.shape == {'data': 4, 'model': 2}
+    mesh_all = mesh_mod.create_mesh()
+    assert mesh_all.shape['data'] == len(jax.devices())
+
+
+def test_mesh_too_big_raises():
+    with pytest.raises(ValueError):
+        mesh_mod.create_mesh(data=16, model=2)
+
+
+def test_logits_head_is_model_sharded(trainer_and_state):
+    trainer, state = trainer_and_state
+    kernel = state.params['logits']['kernel']
+    spec = kernel.sharding.spec
+    assert spec == jax.sharding.PartitionSpec(None, 'model')
+
+
+def test_train_step_runs_and_learns(trainer_and_state):
+    trainer, state = trainer_and_state
+    batches = synthetic_batches(12)
+
+    state, metrics = trainer.train_epoch(state, batches[:1], epoch=0,
+                                         log_every=0)
+    first_loss = metrics['cross_entropy']
+
+    for _ in range(6):
+        state, metrics = trainer.train_epoch(state, batches, epoch=0,
+                                             log_every=0)
+    assert metrics['cross_entropy'] < first_loss
+    assert int(state.step) > 0
+    assert np.isfinite(metrics['loss'])
+
+
+def test_center_loss_training_updates_centers():
+    trainer = SoftmaxTrainer(train_cfg(center_factor=0.5), NROF_CLASSES,
+                             model_cfg=TINY_MODEL)
+    state = trainer.init_state(seed=0)
+    assert state.centers is not None
+    assert np.allclose(np.asarray(state.centers), 0)
+
+    state, metrics = trainer.train_epoch(state, synthetic_batches(3),
+                                         epoch=0, log_every=0)
+    assert 'center_loss' in metrics
+    assert not np.allclose(np.asarray(state.centers), 0)
+
+
+def test_triplet_loss_training_runs():
+    trainer = SoftmaxTrainer(train_cfg(triplet_factor=1.0), NROF_CLASSES,
+                             model_cfg=TINY_MODEL)
+    state = trainer.init_state(seed=0)
+    state, metrics = trainer.train_epoch(state, synthetic_batches(2),
+                                         epoch=0, log_every=0)
+    assert 'triplet_loss' in metrics
+    assert np.isfinite(metrics['triplet_loss'])
+
+
+def test_embedding_forward_from_train_state(trainer_and_state):
+    trainer, state = trainer_and_state
+    fwd = trainer.embedding_forward(state)
+    imgs = np.random.RandomState(0).randint(
+        0, 256, (3, 160, 160, 3), dtype=np.uint8)
+    out = np.asarray(fwd(imgs))
+    assert out.shape == (3, 32)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-2)
+
+
+def test_checkpoint_roundtrip(tmp_path, trainer_and_state):
+    from facenet_tpu.train.checkpoint import CheckpointManager
+    trainer, state = trainer_and_state
+
+    mgr = CheckpointManager(tmp_path / 'ckpt', max_to_keep=2)
+    mgr.save(int(state.step), state)
+    assert mgr.latest_step() == int(state.step)
+
+    # restore into a freshly initialized state
+    template = trainer.init_state(seed=1)
+    restored = mgr.restore(template)
+    mgr.close()
+
+    a = jax.tree_util.tree_leaves(state.params)
+    b = jax.tree_util.tree_leaves(restored.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_export_bundle_roundtrip(tmp_path):
+    from facenet_tpu import export
+    from facenet_tpu.models.inception_resnet_v1 import InceptionResnetV1
+
+    model = InceptionResnetV1(config=TINY_MODEL)
+    imgs = np.random.RandomState(0).randint(
+        0, 256, (2, 160, 160, 3), dtype=np.uint8)
+    variables = model.init(jax.random.PRNGKey(0), imgs, train=False)
+    want = np.asarray(model.apply(variables, imgs, train=False))
+
+    path = export.save_model(tmp_path / 'bundle', model, variables)
+    bundle = export.load_model(path)
+    got = np.asarray(bundle.model.apply(bundle.variables, imgs, train=False))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_facenet_serving_class(tmp_path):
+    from facenet_tpu import FaceNet, export
+    from facenet_tpu.models.inception_resnet_v1 import InceptionResnetV1
+
+    model = InceptionResnetV1(config=TINY_MODEL)
+    imgs = np.random.RandomState(0).randint(
+        0, 256, (160, 160, 3), dtype=np.uint8)
+    variables = model.init(jax.random.PRNGKey(0), imgs[None], train=False)
+    export.save_model(tmp_path / 'bundle', model, variables)
+
+    fn = FaceNet(Config({'path': str(tmp_path / 'bundle'), 'normalize': True}))
+    emb = fn.image_to_embedding(imgs)       # single image -> batch of 1
+    assert emb.shape == (1, 32)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-2)
+
+
+def test_export_h5_activations(tmp_path):
+    from facenet_tpu import export, h5utils
+    from facenet_tpu.models.inception_resnet_v1 import InceptionResnetV1
+
+    model = InceptionResnetV1(config=TINY_MODEL)
+    imgs = np.random.RandomState(0).randint(
+        0, 256, (1, 160, 160, 3), dtype=np.uint8)
+    variables = model.init(jax.random.PRNGKey(0), imgs, train=False)
+
+    h5 = export.export_h5(tmp_path / 'dump.h5', model, variables, imgs)
+    names = [i['name'] for i in h5utils.visititems(h5)]
+    assert any(n.startswith('activations/') for n in names)
+    assert any(n.startswith('weights/') for n in names)
+    assert 'input' in names
