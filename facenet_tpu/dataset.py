@@ -197,12 +197,24 @@ class ImageLoader:
     decode, then crop-or-pad to (size, size); here with PIL on host.
     """
 
+    # geometry mode understood by the native decoder (imageio.cc):
+    # 0 = central crop-or-pad. BatchLoader uses this to route whole batches
+    # through the C++ pipeline instead of per-image PIL calls.
+    native_mode = 0
+
     def __init__(self, config=None, size=None):
         if size is None:
             size = int(config.size)
         self.height = self.width = int(size)
 
     def __call__(self, path):
+        from facenet_tpu import native
+        if native.available():
+            img = native.decode_image(path, (self.height, self.width),
+                                      mode=self.native_mode)
+            if img is None:
+                raise OSError(f'unreadable image: {path}')
+            return img
         with Image.open(path) as img:
             arr = np.asarray(img.convert('RGB'), dtype=np.uint8)
         return crop_or_pad(arr, self.height, self.width)
@@ -273,6 +285,41 @@ class BatchLoader:
                 return
 
     def __iter__(self):
+        # Fast path: fixed-geometry loaders go through the native C++
+        # threadpool decoder (facenet_tpu/native) — one submit per batch,
+        # double-buffered, no Python in the decode loop.
+        mode = getattr(self.loader, 'native_mode', None)
+        if mode is not None:
+            from facenet_tpu import native
+            if native.available():
+                yield from self._iter_native(mode)
+                return
+        yield from self._iter_pil()
+
+    def _iter_native(self, mode):
+        from facenet_tpu import native
+        ldr = native.NativeBatchLoader(
+            self.files, (self.loader.height, self.loader.width), mode=mode,
+            num_threads=self.num_workers, prefetch=max(self.prefetch, 1))
+        try:
+            labels_per_batch = []
+
+            def stream():
+                for idx in self._index_stream():
+                    labels_per_batch.append(self.labels[idx])
+                    yield idx
+
+            for images, ok in ldr.iterate(stream()):
+                labels = labels_per_batch.pop(0)
+                if not ok.all():
+                    bad = int((~ok.astype(bool)).sum())
+                    logger.warning(f'{bad} unreadable image(s) in batch '
+                                   '(left as zeros)')
+                yield images, labels
+        finally:
+            ldr.close()
+
+    def _iter_pil(self):
         stop = threading.Event()
         q = queue_mod.Queue(maxsize=max(self.prefetch, 1))
 

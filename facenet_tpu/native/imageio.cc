@@ -1,0 +1,299 @@
+// Native image decode + geometry for the facenet_tpu host data pipeline.
+//
+// The reference feeds its accelerator from tf.data with in-graph decode
+// (reference facenet/facenet.py:45-54 ImageLoader: decode_png/jpeg +
+// resize_with_crop_or_pad). On TPU the decode must happen on the host CPU
+// and the north-star throughput (>=20k img/s on a v5e-8, BASELINE.json)
+// needs a multi-threaded native decoder — Python/PIL tops out far below
+// the ~2.5k img/s/chip feed rate (SURVEY.md §7 "Hard parts").
+//
+// This file: JPEG (libjpeg) and PNG (libpng) decode to RGB uint8, plus
+// the two geometry ops the framework needs on the host:
+//   * crop_or_pad — central crop / zero pad to a fixed size (the
+//     reference ImageLoader semantics),
+//   * bilinear resize — for detector-input letterboxing.
+// No external deps beyond libjpeg/libpng/zlib (system libraries).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <csetjmp>
+#include <cstdlib>
+#include <algorithm>
+#include <vector>
+
+#include <jpeglib.h>
+#include <png.h>
+
+namespace facenet_native {
+
+struct Image {
+  std::vector<uint8_t> data;  // HWC, RGB
+  int height = 0;
+  int width = 0;
+};
+
+// ---------------------------------------------------------------------------
+// JPEG decode (libjpeg with longjmp error trap so corrupt files return
+// failure instead of aborting the process — the reference counts unreadable
+// files rather than crashing, reference apps/extract_faces.py:48-54).
+// ---------------------------------------------------------------------------
+
+struct JpegErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+static void jpeg_error_exit(j_common_ptr cinfo) {
+  JpegErrorMgr* err = reinterpret_cast<JpegErrorMgr*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+static bool decode_jpeg(const uint8_t* buf, size_t len, Image* out) {
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(buf),
+               static_cast<unsigned long>(len));
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+
+  out->width = static_cast<int>(cinfo.output_width);
+  out->height = static_cast<int>(cinfo.output_height);
+  const int row_stride = out->width * 3;
+  out->data.resize(static_cast<size_t>(out->height) * row_stride);
+
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out->data.data() +
+                   static_cast<size_t>(cinfo.output_scanline) * row_stride;
+    JSAMPROW rows[1] = {row};
+    jpeg_read_scanlines(&cinfo, rows, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+// ---------------------------------------------------------------------------
+// PNG decode (libpng; all bit depths / palettes normalized to 8-bit RGB).
+// ---------------------------------------------------------------------------
+
+struct PngReadState {
+  const uint8_t* buf;
+  size_t len;
+  size_t pos;
+};
+
+static void png_read_fn(png_structp png, png_bytep out, png_size_t n) {
+  PngReadState* s = static_cast<PngReadState*>(png_get_io_ptr(png));
+  if (s->pos + n > s->len) {
+    png_error(png, "read past end");
+    return;
+  }
+  std::memcpy(out, s->buf + s->pos, n);
+  s->pos += n;
+}
+
+static bool decode_png(const uint8_t* buf, size_t len, Image* out) {
+  if (len < 8 || png_sig_cmp(buf, 0, 8)) return false;
+
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) return false;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return false;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;
+  }
+
+  PngReadState state{buf, len, 0};
+  png_set_read_fn(png, &state, png_read_fn);
+  png_read_info(png, info);
+
+  png_uint_32 w, h;
+  int bit_depth, color_type;
+  png_get_IHDR(png, info, &w, &h, &bit_depth, &color_type, nullptr, nullptr,
+               nullptr);
+
+  // Normalize every input to 8-bit RGB.
+  if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8)
+    png_set_expand_gray_1_2_4_to_8(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  if (bit_depth == 16) png_set_strip_16(png);
+  if (color_type == PNG_COLOR_TYPE_GRAY ||
+      color_type == PNG_COLOR_TYPE_GRAY_ALPHA)
+    png_set_gray_to_rgb(png);
+  // Drop alpha: composite over black is wrong for photos; just strip.
+  if (color_type & PNG_COLOR_MASK_ALPHA ||
+      png_get_valid(png, info, PNG_INFO_tRNS))
+    png_set_strip_alpha(png);
+  png_read_update_info(png, info);
+
+  out->width = static_cast<int>(w);
+  out->height = static_cast<int>(h);
+  const size_t row_stride = static_cast<size_t>(out->width) * 3;
+  out->data.resize(static_cast<size_t>(out->height) * row_stride);
+
+  std::vector<png_bytep> rows(h);
+  for (png_uint_32 y = 0; y < h; ++y)
+    rows[y] = out->data.data() + y * row_stride;
+  png_read_image(png, rows.data());
+  png_read_end(png, nullptr);
+  png_destroy_read_struct(&png, &info, nullptr);
+  return true;
+}
+
+// ---------------------------------------------------------------------------
+// Format sniffing + file read.
+// ---------------------------------------------------------------------------
+
+static bool decode_any(const uint8_t* buf, size_t len, Image* out) {
+  if (len >= 3 && buf[0] == 0xFF && buf[1] == 0xD8 && buf[2] == 0xFF)
+    return decode_jpeg(buf, len, out);
+  if (len >= 8 && !png_sig_cmp(buf, 0, 8)) return decode_png(buf, len, out);
+  // Fall through: try JPEG then PNG (some files lack clean magic).
+  if (decode_jpeg(buf, len, out)) return true;
+  return decode_png(buf, len, out);
+}
+
+static bool read_file(const char* path, std::vector<uint8_t>* out) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  std::fseek(f, 0, SEEK_END);
+  long size = std::ftell(f);
+  if (size <= 0) {
+    std::fclose(f);
+    return false;
+  }
+  std::fseek(f, 0, SEEK_SET);
+  out->resize(static_cast<size_t>(size));
+  const bool ok = std::fread(out->data(), 1, out->size(), f) == out->size();
+  std::fclose(f);
+  return ok;
+}
+
+// ---------------------------------------------------------------------------
+// Geometry: central crop-or-pad and bilinear resize, both to fixed shapes.
+// ---------------------------------------------------------------------------
+
+// Match tf.image.resize_with_crop_or_pad: center-crop dims that are too
+// large, zero-pad (centered) dims that are too small (reference
+// facenet/facenet.py:52-53).
+static void crop_or_pad(const Image& src, int th, int tw, uint8_t* dst) {
+  std::memset(dst, 0, static_cast<size_t>(th) * tw * 3);
+
+  const int copy_h = std::min(src.height, th);
+  const int copy_w = std::min(src.width, tw);
+  // tf pads with floor on the leading side and crops with floor offset.
+  const int src_y = std::max(0, (src.height - th) / 2);
+  const int src_x = std::max(0, (src.width - tw) / 2);
+  const int dst_y = std::max(0, (th - src.height) / 2);
+  const int dst_x = std::max(0, (tw - src.width) / 2);
+
+  for (int y = 0; y < copy_h; ++y) {
+    const uint8_t* s =
+        src.data.data() +
+        (static_cast<size_t>(src_y + y) * src.width + src_x) * 3;
+    uint8_t* d = dst + (static_cast<size_t>(dst_y + y) * tw + dst_x) * 3;
+    std::memcpy(d, s, static_cast<size_t>(copy_w) * 3);
+  }
+}
+
+// Bilinear resize with half-pixel centers (align_corners=false), the same
+// convention as jax.image.resize(method='bilinear') and PIL BILINEAR.
+static void resize_bilinear(const Image& src, int th, int tw, uint8_t* dst) {
+  if (src.height == th && src.width == tw) {
+    std::memcpy(dst, src.data.data(), src.data.size());
+    return;
+  }
+  const float sy = static_cast<float>(src.height) / th;
+  const float sx = static_cast<float>(src.width) / tw;
+
+  std::vector<int> x0s(tw), x1s(tw);
+  std::vector<float> xws(tw);
+  for (int x = 0; x < tw; ++x) {
+    float fx = (x + 0.5f) * sx - 0.5f;
+    fx = std::max(0.0f, std::min(fx, static_cast<float>(src.width - 1)));
+    const int x0 = static_cast<int>(fx);
+    x0s[x] = x0;
+    x1s[x] = std::min(x0 + 1, src.width - 1);
+    xws[x] = fx - x0;
+  }
+
+  for (int y = 0; y < th; ++y) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    fy = std::max(0.0f, std::min(fy, static_cast<float>(src.height - 1)));
+    const int y0 = static_cast<int>(fy);
+    const int y1 = std::min(y0 + 1, src.height - 1);
+    const float wy = fy - y0;
+
+    const uint8_t* r0 = src.data.data() + static_cast<size_t>(y0) * src.width * 3;
+    const uint8_t* r1 = src.data.data() + static_cast<size_t>(y1) * src.width * 3;
+    uint8_t* drow = dst + static_cast<size_t>(y) * tw * 3;
+
+    for (int x = 0; x < tw; ++x) {
+      const int x0 = x0s[x] * 3, x1 = x1s[x] * 3;
+      const float wx = xws[x];
+      for (int c = 0; c < 3; ++c) {
+        const float top = r0[x0 + c] + wx * (r0[x1 + c] - r0[x0 + c]);
+        const float bot = r1[x0 + c] + wx * (r1[x1 + c] - r1[x0 + c]);
+        const float v = top + wy * (bot - top);
+        drow[x * 3 + c] = static_cast<uint8_t>(v + 0.5f);
+      }
+    }
+  }
+}
+
+}  // namespace facenet_native
+
+// ---------------------------------------------------------------------------
+// C ABI used by both the threaded loader (loader.cc) and ctypes directly.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Decode one file to a fixed-size uint8 RGB buffer [height, width, 3].
+// mode 0 = central crop-or-pad, 1 = bilinear resize.
+// Returns 1 on success, 0 on unreadable/corrupt file.
+int fn_decode_image(const char* path, int height, int width, int mode,
+                    uint8_t* out) {
+  std::vector<uint8_t> raw;
+  if (!facenet_native::read_file(path, &raw)) return 0;
+  facenet_native::Image img;
+  if (!facenet_native::decode_any(raw.data(), raw.size(), &img)) return 0;
+  if (img.height <= 0 || img.width <= 0) return 0;
+  if (mode == 1)
+    facenet_native::resize_bilinear(img, height, width, out);
+  else
+    facenet_native::crop_or_pad(img, height, width, out);
+  return 1;
+}
+
+// Probe a file: decode and report its native size without resizing.
+// Returns 1 on success and fills (h, w); 0 if unreadable.
+int fn_probe_image(const char* path, int* h, int* w) {
+  std::vector<uint8_t> raw;
+  if (!facenet_native::read_file(path, &raw)) return 0;
+  facenet_native::Image img;
+  if (!facenet_native::decode_any(raw.data(), raw.size(), &img)) return 0;
+  *h = img.height;
+  *w = img.width;
+  return 1;
+}
+
+}  // extern "C"

@@ -1,0 +1,101 @@
+"""Tests for the native (C++) host data pipeline.
+
+Covers the contract the Python side relies on: JPEG/PNG decode to RGB uint8,
+crop-or-pad parity with the numpy reference implementation, corrupt-file
+handling (status 0, zero-filled slot — the reference counts unreadable files
+instead of crashing, ref apps/extract_faces.py:48-54), and the prefetching
+batch loader's ordering.
+"""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from facenet_tpu import native
+from facenet_tpu.dataset import crop_or_pad
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason='native library failed to build')
+
+
+@pytest.fixture(scope='module')
+def image_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp('imgs')
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(12):
+        arr = rng.randint(0, 256, (100 + 7 * i, 120, 3), dtype=np.uint8)
+        ext = 'png' if i % 2 else 'jpg'
+        p = root / f'im{i}.{ext}'
+        Image.fromarray(arr).save(p)
+        paths.append(str(p))
+    bad = root / 'bad.jpg'
+    bad.write_bytes(b'this is not an image')
+    return paths, str(bad)
+
+
+def test_decode_png_lossless_matches_pil(image_dir):
+    paths, _ = image_dir
+    png = [p for p in paths if p.endswith('png')][0]
+    ref = np.asarray(Image.open(png))
+    got = native.decode_image(png, ref.shape[:2], mode=native.MODE_CROP_OR_PAD)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_decode_jpeg_close_to_pil(image_dir):
+    paths, _ = image_dir
+    jpg = [p for p in paths if p.endswith('jpg')][0]
+    ref = np.asarray(Image.open(jpg)).astype(np.int32)
+    got = native.decode_image(jpg, ref.shape[:2]).astype(np.int32)
+    # Different IDCT implementations may differ by a few counts.
+    assert np.abs(got - ref).mean() < 2.0
+
+
+def test_crop_or_pad_parity(image_dir):
+    paths, _ = image_dir
+    png = [p for p in paths if p.endswith('png')][0]
+    full = np.asarray(Image.open(png))
+    for size in [(64, 64), (160, 160), (96, 200), (200, 96)]:
+        got = native.decode_image(png, size)
+        ref = crop_or_pad(full, *size)
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_corrupt_file_returns_none(image_dir):
+    _, bad = image_dir
+    assert native.decode_image(bad, 64) is None
+    assert native.probe_image(bad) is None
+
+
+def test_probe(image_dir):
+    paths, _ = image_dir
+    png = [p for p in paths if p.endswith('png')][0]
+    ref = np.asarray(Image.open(png))
+    assert native.probe_image(png) == ref.shape[:2]
+
+
+def test_batch_loader_ordering_and_status(image_dir):
+    paths, bad = image_dir
+    all_paths = paths + [bad]
+    ldr = native.NativeBatchLoader(all_paths, 64, prefetch=2, num_threads=4)
+    batches = [[0, 1, 2], [3, 4, 5, len(all_paths) - 1], [6]]
+    got = list(ldr.iterate(batches))
+    ldr.close()
+
+    assert [g[0].shape[0] for g in got] == [3, 4, 1]
+    assert got[1][1].tolist() == [1, 1, 1, 0]   # corrupt file flagged
+    assert (got[1][0][3] == 0).all()            # zero-filled slot
+    # spot-check content ordering against direct decode
+    direct = native.decode_image(all_paths[3], 64)
+    np.testing.assert_array_equal(got[1][0][0], direct)
+
+
+def test_batch_loader_matches_image_loader(image_dir):
+    paths, _ = image_dir
+    from facenet_tpu.dataset import BatchLoader, ImageLoader
+    loader = ImageLoader(size=80)
+    bl = BatchLoader(paths, np.arange(len(paths)), loader, batch_size=5)
+    batches = list(bl)
+    assert sum(b[0].shape[0] for b in batches) == len(paths)
+    np.testing.assert_array_equal(batches[0][0][0], loader(paths[0]))
+    assert batches[0][1].tolist() == [0, 1, 2, 3, 4]
