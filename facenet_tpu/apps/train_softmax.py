@@ -21,6 +21,12 @@ from facenet_tpu.train.softmax import SoftmaxTrainer
 def main(**options):
     cfg = config.train_softmax({'config': options['config_file']},
                                app_file_name=__file__)
+    run(cfg)
+
+
+def run(cfg):
+    """Full training flow from a prepared config (shared with the
+    distributed app, apps/train_softmax_distributed.py)."""
     logging.configure_logging(cfg.logs)
 
     # ------------------------------------------------------------------
@@ -42,9 +48,10 @@ def main(**options):
 
     # ------------------------------------------------------------------
     # trainer + state
-    model_cfg = cfg.model.config.as_dict if cfg.model.config else None
+    # cfg.model carries the zoo selection: `module:` picks the network
+    # (IRv1/IRv2), `config:` its topology (models/__init__.py registry)
     trainer = SoftmaxTrainer(cfg, nrof_classes=train_dbase.nrof_classes,
-                             model_cfg=model_cfg)
+                             model_cfg=cfg.model)
     state = trainer.init_state(seed=int(cfg.seed))
 
     ckpt = CheckpointManager(cfg.model.path / 'checkpoints',

@@ -44,7 +44,9 @@ class ModelBundle:
 def save_model(path, model, variables, extra_meta=None):
     """Write a deployable model bundle.
 
-    :param model: InceptionResnetV1 instance (architecture source of truth)
+    :param model: zoo model instance, IRv1 or IRv2 (architecture source of
+        truth; its class name is recorded so load_model rebuilds the same
+        architecture)
     :param variables: {'params': ..., 'batch_stats': ...}
     """
     path = Path(str(path)).expanduser()
@@ -57,7 +59,7 @@ def save_model(path, model, variables, extra_meta=None):
         cfg = dict(cfg)
 
     meta = {
-        'model_class': 'InceptionResnetV1',
+        'model_class': type(model).__name__,
         'config': cfg,
         'image_size': int(model.image_size),
         'normalization': int(model.normalization),

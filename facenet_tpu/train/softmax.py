@@ -44,7 +44,7 @@ from facenet_tpu.parallel import mesh as mesh_mod
 
 class SoftmaxClassifier(nn.Module):
     """Backbone + identity-logits head (ref train_softmax.py:55-64)."""
-    backbone: InceptionResnetV1
+    backbone: nn.Module     # any zoo model: IRv1 or IRv2 (models/__init__.py)
     nrof_classes: int
     dtype: Any = jnp.bfloat16
 
@@ -150,10 +150,13 @@ class SoftmaxTrainer:
         self.nrof_classes = int(nrof_classes)
 
         image_cfg = cfg.image
-        backbone = InceptionResnetV1(
-            config=model_cfg.as_dict if isinstance(model_cfg, Config) else model_cfg,
-            image_size=int(image_cfg.size or 160),
-            normalization=int(image_cfg.normalization or 0))
+        # model selection via the `module:` key of the model config (the
+        # reference's model-YAML contract); bare topology dicts still build
+        # the default Inception-ResNet-v1
+        from facenet_tpu import models as models_zoo
+        zoo_cfg = model_cfg if model_cfg is not None else cfg.model
+        backbone = models_zoo.create_model_from_config(zoo_cfg,
+                                                       image_cfg=image_cfg)
         self.backbone = backbone
         self.model = SoftmaxClassifier(backbone=backbone,
                                        nrof_classes=self.nrof_classes)

@@ -194,3 +194,70 @@ def test_graft_entry_shapes():
     variables, images = args
     assert images.shape == (8, 160, 160, 3)
     assert 'params' in variables
+
+
+def _train_cfg_dict(face_tree, tmp_path, extra=None):
+    cfg = {
+        'dataset': {'path': str(face_tree)},
+        'model': {'path': str(tmp_path / 'run'),
+                  'config': TINY_MODEL},
+        'batch_size': 8,
+        'seed': 0,
+        'train': {
+            'adam_epsilon': 0.1,
+            'epoch': {'max_nrof_epochs': 1, 'size': 2},
+            'learning_rate': {'schedule': [[1, 0.05]]},
+        },
+        'loss': {'center_factor': 0.0, 'triplet_factor': 0.0},
+        'image': {'size': 160, 'normalization': 0},
+        'mesh': {'data': 1, 'model': 1},
+        'checkpoint': {'max_to_keep': 1},
+        'validate': {
+            'every_n_epochs': 1,
+            'dataset': {'path': str(face_tree)},
+            'validate': {'metric': 0, 'nrof_folds': 2, 'far_target': 0.1},
+        },
+    }
+    if extra:
+        cfg.update(extra)
+    return cfg
+
+
+def test_train_softmax_app(face_tree, tmp_path):
+    """End-to-end: train 1 tiny epoch -> checkpoints + report + export."""
+    from facenet_tpu.apps.train_softmax import main
+
+    cfg_file = tmp_path / 'train_softmax.yaml'
+    cfg_file.write_text(yaml.safe_dump(_train_cfg_dict(face_tree, tmp_path)))
+
+    result = CliRunner().invoke(main, ['--config', str(cfg_file)])
+    assert result.exit_code == 0, result.output
+
+    runs = list((tmp_path / 'run').glob('*'))
+    assert len(runs) == 1
+    run_dir = runs[0]
+    assert (run_dir / 'logs' / 'report.txt').exists()
+    assert (run_dir / 'logs' / 'revision_info.txt').exists()
+    assert list((run_dir / 'checkpoints').glob('*'))
+    report = (run_dir / 'logs' / 'report.txt').read_text()
+    assert 'epoch [1/1]' in report
+    assert 'FaceToFaceValidation' in report
+
+
+def test_train_softmax_distributed_app(face_tree, tmp_path):
+    """Distributed app: 2-device data-parallel mesh on CPU virtual devices."""
+    from facenet_tpu.apps.train_softmax_distributed import main
+
+    extra = {'mesh': {'data': 2, 'model': 1},
+             'distributed': {'enable': False}}
+    cfg_file = tmp_path / 'train_softmax_distributed.yaml'
+    cfg_file.write_text(yaml.safe_dump(
+        _train_cfg_dict(face_tree, tmp_path, extra)))
+
+    result = CliRunner().invoke(main, ['--config', str(cfg_file)])
+    assert result.exit_code == 0, result.output
+    assert 'devices: 8' in result.output
+
+    runs = list((tmp_path / 'run').glob('*'))
+    assert len(runs) == 1
+    assert (runs[0] / 'logs' / 'report.txt').exists()
