@@ -207,6 +207,29 @@ def _make_pair_histograms():
 _pair_histograms = _make_pair_histograms()
 
 
+def _use_pallas(nrof_thresholds, nrof_embeddings=0):
+    """Route to the fused Pallas kernel on TPU (env FACENET_TPU_PALLAS=0/1
+    forces either path; the kernel holds at most 127 thresholds).
+
+    Auto mode requires a large problem: the kernel's unrolled threshold
+    loop costs a minutes-long one-time Mosaic compile, which only pays off
+    where the XLA path is tens of seconds per call (N in the tens of
+    thousands) and the call repeats — e.g. per-fold statistics inside the
+    training loop's periodic validation. Measured at the reference eval
+    scale (26,489 x 512, 98 thresholds, v5e): Pallas 1.4 s/call steady vs
+    XLA 51 s/call — 35x — vs reference CPU 694-1540 s (SURVEY.md §6)."""
+    import os
+    if nrof_thresholds > 127:
+        return False
+    flag = os.environ.get('FACENET_TPU_PALLAS', 'auto').lower()
+    if flag in ('0', 'false', 'off'):
+        return False
+    if flag in ('1', 'true', 'on'):
+        return True
+    import jax
+    return jax.default_backend() == 'tpu' and nrof_embeddings >= 8192
+
+
 def confusion_counts(embeddings, labels, thresholds, metric=0, atol=1e-5):
     """Weighted (tp, fn, fp, tn) per threshold — reference ConfidenceMatrix math.
 
@@ -231,20 +254,27 @@ def confusion_counts(embeddings, labels, thresholds, metric=0, atol=1e-5):
     order = np.argsort(thresholds, kind='stable')
     sorted_t = thresholds[order]
 
-    hist_pos, hist_neg = _pair_histograms(
-        jnp_array(embeddings), jnp_array(dense.astype(np.int32)),
-        jnp_array(sorted_t), num_classes=int(num_classes),
-        metric=int(metric), num_bins=int(sorted_t.size))
+    if _use_pallas(sorted_t.size, len(embeddings)):
+        # fused Pallas kernel: distances never touch HBM
+        from facenet_tpu.ops.pallas_stats import pair_below_counts
+        below_pos, below_neg, total_pos, total_neg = pair_below_counts(
+            embeddings, dense, sorted_t, metric=int(metric),
+            num_classes=int(num_classes))
+    else:
+        hist_pos, hist_neg = _pair_histograms(
+            jnp_array(embeddings), jnp_array(dense.astype(np.int32)),
+            jnp_array(sorted_t), num_classes=int(num_classes),
+            metric=int(metric), num_bins=int(sorted_t.size))
 
-    hist_pos = np.asarray(hist_pos)
-    hist_neg = np.asarray(hist_neg)
+        hist_pos = np.asarray(hist_pos)
+        hist_neg = np.asarray(hist_neg)
 
-    # cumulative weighted counts below each threshold (in sorted order)
-    below_pos = np.cumsum(hist_pos)[:-1]
-    below_neg = np.cumsum(hist_neg)[:-1]
+        # cumulative weighted counts below each threshold (in sorted order)
+        below_pos = np.cumsum(hist_pos)[:-1]
+        below_neg = np.cumsum(hist_neg)[:-1]
 
-    total_pos = hist_pos.sum()
-    total_neg = hist_neg.sum()
+        total_pos = hist_pos.sum()
+        total_neg = hist_neg.sum()
 
     nrof_neg_class_pairs = num_classes * (num_classes - 1) / 2
 
