@@ -149,6 +149,9 @@ class SoftmaxTrainer:
         self.cfg = cfg
         self.nrof_classes = int(nrof_classes)
 
+        from facenet_tpu.utils import profiling
+        profiling.apply_debug_config(cfg.debug)
+
         image_cfg = cfg.image
         # model selection via the `module:` key of the model config (the
         # reference's model-YAML contract); bare topology dicts still build
@@ -233,28 +236,67 @@ class SoftmaxTrainer:
 
     def train_epoch(self, state, batches, epoch, log_every=100):
         """One epoch over an iterable of (images, labels) host batches."""
+        from facenet_tpu.utils import profiling
+
         batch_shard = mesh_mod.batch_sharding(self.mesh)
         t0 = time.monotonic()
         metrics = None
         n = 0
 
+        # optional jax.profiler trace of a step window (cfg.profiling)
+        prof = self.cfg.profiling
+        trace_dir = str(prof.trace_dir) if prof and prof.trace_dir else None
+
+        def _cfg_int(value, default):
+            # Config returns a falsy empty Config for missing keys, and 0 is
+            # a legitimate setting — so test for "missing", not truthiness
+            return default if value is None or value == '' or (
+                hasattr(value, 'as_dict') and not value) else int(value)
+
+        trace_epoch = _cfg_int(prof.epoch if prof else None, 0)
+        trace_start = _cfg_int(prof.start_step if prof else None, 3)
+        trace_steps = _cfg_int(prof.num_steps if prof else None, 5)
+        tracing = False
+
+        timer = profiling.StepTimer(
+            items_per_step=0, log_every=0, name=f'epoch {epoch} step')
+
         for images, labels in batches:
-            images = jax.device_put(images, batch_shard)
-            labels = jax.device_put(labels, batch_shard)
-            state, metrics = self.step_fn(state, images, labels)
+            if trace_dir and epoch == trace_epoch and n == trace_start:
+                from jax import profiler as jax_profiler
+                jax_profiler.start_trace(trace_dir)
+                tracing = True
+            timer.items_per_step = len(images)
+            with timer:
+                images = jax.device_put(images, batch_shard)
+                labels = jax.device_put(labels, batch_shard)
+                state, metrics = self.step_fn(state, images, labels)
             n += 1
+            if tracing and n >= trace_start + trace_steps:
+                from jax import profiler as jax_profiler
+                jax.tree_util.tree_map(
+                    lambda x: x.block_until_ready(), metrics)
+                jax_profiler.stop_trace()
+                tracing = False
+                logger.info(f'profiler trace written to {trace_dir}')
             if log_every and n % log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 logger.info(
                     f'epoch {epoch} step {n}/{self.steps_per_epoch} ' +
-                    ' '.join(f'{k}={v:.4f}' for k, v in m.items()))
+                    ' '.join(f'{k}={v:.4f}' for k, v in m.items()) +
+                    f' [{timer.items_per_sec:.1f} img/s]')
             if n >= self.steps_per_epoch:
                 break
+
+        if tracing:
+            from jax import profiler as jax_profiler
+            jax_profiler.stop_trace()
 
         dt = time.monotonic() - t0
         m = {k: float(v) for k, v in (metrics or {}).items()}
         m['epoch_time_s'] = dt
         m['steps'] = n
+        m['img_per_s'] = timer.items_per_sec
         return state, m
 
     # ------------------------------------------------------------------
