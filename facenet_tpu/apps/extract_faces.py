@@ -29,7 +29,8 @@ def main(**options):
     print('output directory', options.outdir)
     print('output h5 file  ', options.h5file)
 
-    detector = FaceDetector(detector=options.detector or 'mtcnn')
+    detector = FaceDetector(detector=options.detector or 'mtcnn',
+                            weights=options.detector_weights or None)
     ioutils.write_text_log(options.logfile, detector)
     print(detector)
 

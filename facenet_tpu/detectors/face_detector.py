@@ -92,14 +92,23 @@ class FaceDetector:
     """
 
     def __init__(self, detector='mtcnn', image_shape=(480, 640),
-                 params=None, **kwargs):
+                 params=None, weights=None, **kwargs):
         self.detector = detector
 
         if detector in ('mtcnn', 'pypimtcnn'):
             from facenet_tpu.detectors.mtcnn.cascade import MTCNN
             self.mode = 'RGB'
+            if params is None and weights:
+                # pretrained det1/det2/det3.npy directory (the standard
+                # davidsandberg/pip-mtcnn weight files; mtcnn/weights.py)
+                from facenet_tpu.detectors.mtcnn.weights import (
+                    load_davidsandberg_weights)
+                params = load_davidsandberg_weights(weights)
             self._mtcnn = MTCNN(image_shape=image_shape, params=params,
                                 **kwargs)
+            if params is not None:
+                from facenet_tpu.detectors.mtcnn.weights import validate_params
+                validate_params(params, self._mtcnn)
         elif detector == 'frcnnv3':
             raise NotImplementedError(
                 "the 'frcnnv3' frozen-TF1-graph detector is not available in "
