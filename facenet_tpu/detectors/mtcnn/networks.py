@@ -48,7 +48,7 @@ class PNet(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, logits=False):
         d = self.dtype
         x = x.astype(d)
         x = nn.Conv(10, (3, 3), padding='VALID', dtype=d,
@@ -67,6 +67,8 @@ class PNet(nn.Module):
         reg = nn.Conv(4, (1, 1), dtype=d, param_dtype=jnp.float32,
                       name='reg')(x)
 
+        if logits:
+            return cls.astype(jnp.float32), reg.astype(jnp.float32)
         probs = nn.softmax(cls.astype(jnp.float32), axis=-1)[..., 1]
         return probs, reg.astype(jnp.float32)
 
@@ -76,7 +78,7 @@ class RNet(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, logits=False):
         d = self.dtype
         x = x.astype(d)
         x = nn.Conv(28, (3, 3), padding='VALID', dtype=d,
@@ -98,6 +100,8 @@ class RNet(nn.Module):
         cls = nn.Dense(2, dtype=d, param_dtype=jnp.float32, name='cls')(x)
         reg = nn.Dense(4, dtype=d, param_dtype=jnp.float32, name='reg')(x)
 
+        if logits:
+            return cls.astype(jnp.float32), reg.astype(jnp.float32)
         probs = nn.softmax(cls.astype(jnp.float32), axis=-1)[..., 1]
         return probs, reg.astype(jnp.float32)
 
@@ -107,7 +111,7 @@ class ONet(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, logits=False):
         d = self.dtype
         x = x.astype(d)
         x = nn.Conv(32, (3, 3), padding='VALID', dtype=d,
@@ -135,6 +139,9 @@ class ONet(nn.Module):
         lmk = nn.Dense(10, dtype=d, param_dtype=jnp.float32,
                        name='landmarks')(x)
 
+        if logits:
+            return (cls.astype(jnp.float32), reg.astype(jnp.float32),
+                    lmk.astype(jnp.float32))
         probs = nn.softmax(cls.astype(jnp.float32), axis=-1)[..., 1]
         return probs, reg.astype(jnp.float32), lmk.astype(jnp.float32)
 
