@@ -37,6 +37,13 @@ def run(cfg):
     ioutils.write_text_log(cfg.logs.dir / 'report.txt', train_dbase)
 
     def train_batches():
+        # P-classes x K-images batches when metric-learning losses are on
+        # (semi-hard triplet mining needs same-class pairs in every batch,
+        # ref dataset.py:46-101); plain shuffled batches otherwise
+        if str(cfg.sampler or '') == 'pk' or float(cfg.loss.triplet_factor
+                                                   or 0.0) > 0:
+            return dataset.pipeline_with_equal_batches(
+                loader, train_dbase.classes, cfg, seed=int(cfg.seed))
         return train_dbase.batches(loader, batch_size=int(cfg.batch_size),
                                    shuffle=True, repeat=True,
                                    drop_remainder=True, seed=int(cfg.seed))

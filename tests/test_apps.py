@@ -261,3 +261,22 @@ def test_train_softmax_distributed_app(face_tree, tmp_path):
     runs = list((tmp_path / 'run').glob('*'))
     assert len(runs) == 1
     assert (runs[0] / 'logs' / 'report.txt').exists()
+
+
+def test_train_softmax_app_pk_sampler_with_triplet(face_tree, tmp_path):
+    """triplet_factor > 0 routes training through P x K equal batches."""
+    from facenet_tpu.apps.train_softmax import main
+
+    extra = {
+        'loss': {'triplet_factor': 0.5, 'triplet_margin': 0.2},
+        'nrof_classes_per_batch': 3,
+        'nrof_examples_per_class': 2,
+    }
+    cfg_file = tmp_path / 'train_softmax.yaml'
+    cfg_file.write_text(yaml.safe_dump(
+        _train_cfg_dict(face_tree, tmp_path, extra)))
+
+    result = CliRunner().invoke(main, ['--config', str(cfg_file)])
+    assert result.exit_code == 0, result.output
+    report = list((tmp_path / 'run').glob('*/logs/report.txt'))[0].read_text()
+    assert 'triplet_loss' in report
