@@ -230,11 +230,25 @@ def _use_pallas(nrof_thresholds, nrof_embeddings=0):
     return jax.default_backend() == 'tpu' and nrof_embeddings >= 8192
 
 
-def confusion_counts(embeddings, labels, thresholds, metric=0, atol=1e-5):
+_EVAL_MESH = None
+
+
+def set_eval_mesh(mesh):
+    """Distribute subsequent confusion_counts calls over a device mesh
+    (rows of the pair matrix shard over the 'data' axis; SURVEY.md §2.8
+    "Sharded eval"). Pass None to return to single-device evaluation."""
+    global _EVAL_MESH
+    _EVAL_MESH = mesh
+
+
+def confusion_counts(embeddings, labels, thresholds, metric=0, atol=1e-5,
+                     mesh=None):
     """Weighted (tp, fn, fp, tn) per threshold — reference ConfidenceMatrix math.
 
     Computed on device in one tiled pass; numerically equivalent to the
-    reference's per-class-pair loop (statistics.py:124-138).
+    reference's per-class-pair loop (statistics.py:124-138). With a mesh
+    (argument or set_eval_mesh), rows shard over the 'data' axis and
+    devices psum their partial histograms.
     """
     embeddings = np.ascontiguousarray(embeddings, dtype=np.float32)
     labels = np.asarray(labels)
@@ -254,7 +268,20 @@ def confusion_counts(embeddings, labels, thresholds, metric=0, atol=1e-5):
     order = np.argsort(thresholds, kind='stable')
     sorted_t = thresholds[order]
 
-    if _use_pallas(sorted_t.size, len(embeddings)):
+    mesh = mesh if mesh is not None else _EVAL_MESH
+    from facenet_tpu.parallel.mesh import DATA_AXIS
+    use_mesh = mesh is not None and mesh.shape.get(DATA_AXIS, 1) > 1
+
+    if use_mesh:
+        from facenet_tpu.parallel.sharded_eval import sharded_pair_histograms
+        hist_pos, hist_neg = sharded_pair_histograms(
+            embeddings, dense.astype(np.int32), sorted_t,
+            num_classes=int(num_classes), metric=int(metric), mesh=mesh)
+        below_pos = np.cumsum(hist_pos)[:-1]
+        below_neg = np.cumsum(hist_neg)[:-1]
+        total_pos = hist_pos.sum()
+        total_neg = hist_neg.sum()
+    elif _use_pallas(sorted_t.size, len(embeddings)):
         # fused Pallas kernel: distances never touch HBM
         from facenet_tpu.ops.pallas_stats import pair_below_counts
         below_pos, below_neg, total_pos, total_neg = pair_below_counts(

@@ -72,10 +72,15 @@ class TrainState(struct.PyTreeNode):
         return self.replace(**kw)
 
 
-def make_train_step(model, tx, loss_cfg, augment_cfg=None, image_size=160):
+def make_train_step(model, tx, loss_cfg, augment_cfg=None, image_size=160,
+                    remat=False):
     """Build the jitted train step closure.
 
     Returns step(state, images, labels) -> (state, metrics).
+    With remat=True the forward is wrapped in jax.checkpoint so backward
+    recomputes activations instead of keeping them in HBM — trades ~1/3 more
+    FLOPs for the activation memory of the whole backbone (enables larger
+    per-chip batches).
     """
     center_factor = float(loss_cfg.center_factor or 0.0)
     center_alfa = float(loss_cfg.center_alfa or 0.95)
@@ -84,10 +89,17 @@ def make_train_step(model, tx, loss_cfg, augment_cfg=None, image_size=160):
     random_crop = bool(augment_cfg.random_crop) if augment_cfg else False
     random_flip = bool(augment_cfg.random_flip) if augment_cfg else False
 
-    def loss_fn(params, batch_stats, centers, images, labels, rng):
-        (logits, prelogits), mutated = model.apply(
+    def apply_fn(params, batch_stats, images, rng):
+        return model.apply(
             {'params': params, 'batch_stats': batch_stats},
             images, train=True, mutable=['batch_stats'], rngs={'dropout': rng})
+
+    if remat:
+        apply_fn = jax.checkpoint(apply_fn)
+
+    def loss_fn(params, batch_stats, centers, images, labels, rng):
+        (logits, prelogits), mutated = apply_fn(params, batch_stats, images,
+                                                rng)
 
         ce = losses_mod.softmax_cross_entropy_with_logits(logits, labels)
         reg = l2_regularization(params, WEIGHT_DECAY)
@@ -230,7 +242,8 @@ class SoftmaxTrainer:
         if self._step_fn is None:
             raw = make_train_step(self.model, self.tx, self.cfg.loss,
                                   augment_cfg=self.cfg.image,
-                                  image_size=self.image_size)
+                                  image_size=self.image_size,
+                                  remat=bool(self.cfg.train.remat))
             self._step_fn = jax.jit(raw, donate_argnums=(0,))
         return self._step_fn
 

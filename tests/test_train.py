@@ -191,3 +191,24 @@ def test_export_h5_activations(tmp_path):
     assert any(n.startswith('activations/') for n in names)
     assert any(n.startswith('weights/') for n in names)
     assert 'input' in names
+
+
+def test_remat_matches_no_remat():
+    """jax.checkpoint must not change the training numerics."""
+    import jax.numpy as jnp
+
+    results = {}
+    for remat in (False, True):
+        cfg = train_cfg()
+        cfg.train.remat = remat
+        trainer = SoftmaxTrainer(cfg, NROF_CLASSES, model_cfg=TINY_MODEL)
+        state = trainer.init_state(seed=0)
+        rng_np = np.random.RandomState(0)
+        imgs = rng_np.randint(0, 256, (8, 160, 160, 3), np.uint8)
+        labels = rng_np.randint(0, NROF_CLASSES, 8).astype(np.int32)
+        state, metrics = trainer.step_fn(state, imgs, labels)
+        results[remat] = (float(metrics['loss']),
+                          float(jnp.sum(jnp.abs(
+                              state.params['logits']['kernel']))))
+    assert results[False][0] == pytest.approx(results[True][0], rel=1e-5)
+    assert results[False][1] == pytest.approx(results[True][1], rel=1e-5)
