@@ -29,7 +29,34 @@ def inputs(config):
     return np.zeros((1, int(config.size), int(config.size), 3), dtype=jnp.uint8)
 
 
-def evaluate_embeddings(forward_fn, batches, renormalize=True):
+def sharded_forward(forward_fn, mesh):
+    """Wrap a jitted forward so input batches shard over the mesh 'data'
+    axis — data-parallel embedding extraction (the v5e-8 north-star path:
+    one uint8 batch split over all chips, XLA runs the same program SPMD).
+
+    Uneven final batches are zero-padded to a device multiple and trimmed
+    (two compiled shapes total: full batches and the padded remainder).
+    """
+    import jax
+    from facenet_tpu.parallel.mesh import DATA_AXIS, batch_sharding
+
+    n_dev = mesh.shape[DATA_AXIS]
+    sharding = batch_sharding(mesh)
+
+    def fn(images):
+        images = np.asarray(images)
+        n = images.shape[0]
+        pad = (-n) % n_dev
+        if pad:
+            images = np.concatenate(
+                [images, np.zeros((pad,) + images.shape[1:], images.dtype)])
+        out = forward_fn(jax.device_put(images, sharding))
+        return np.asarray(out)[:n]
+
+    return fn
+
+
+def evaluate_embeddings(forward_fn, batches, renormalize=True, mesh=None):
     """Run `forward_fn` over all batches; concatenate embeddings and labels.
 
     Equivalent of the reference evaluate_embeddings (facenet.py:184-201).
@@ -41,8 +68,13 @@ def evaluate_embeddings(forward_fn, batches, renormalize=True):
         in reduced precision; the validation statistics assert unit norms to
         1e-5 (reference statistics.py:38-42), so the eval path restores exact
         norms here (distances change by < 1e-3, accuracy is unaffected).
+    :param mesh: optional jax.sharding.Mesh — batches shard over its 'data'
+        axis (see sharded_forward)
     :return: (embeddings [N, D] float32, labels [N])
     """
+    if mesh is not None:
+        forward_fn = sharded_forward(forward_fn, mesh)
+
     embeddings_ = []
     labels_ = []
 
@@ -150,7 +182,14 @@ class EvaluationOfEmbeddings:
         loader = Loader(config=config.image)
         batches = dbase.batches(loader, batch_size=int(config.batch_size or 100))
 
-        self.embeddings, self.labels = evaluate_embeddings(forward_fn, batches)
+        # optional data-parallel extraction over all chips (config.mesh)
+        mesh = None
+        if config.mesh and int(config.mesh.data or 0) > 1:
+            from facenet_tpu.parallel import mesh as mesh_mod
+            mesh = mesh_mod.create_mesh(data=int(config.mesh.data), model=1)
+
+        self.embeddings, self.labels = evaluate_embeddings(forward_fn, batches,
+                                                           mesh=mesh)
         logger.info(str(self))
 
     def __repr__(self):

@@ -69,3 +69,30 @@ def test_uneven_rows_across_devices(mesh8):
     sharded = statistics.confusion_counts(embs, labels, thr, mesh=mesh8)
     for a, b in zip(single, sharded):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
+
+
+def test_sharded_forward_embedding_extraction(mesh8):
+    """evaluate_embeddings(mesh=...) splits batches over the data axis and
+    matches single-device output, including an uneven final batch."""
+    import jax
+    import jax.numpy as jnp
+    from facenet_tpu import facenet
+
+    rng = np.random.RandomState(0)
+    w = rng.randn(48, 16).astype(np.float32)
+
+    @jax.jit
+    def forward(images):
+        flat = images.reshape(images.shape[0], -1).astype(jnp.float32)
+        emb = flat[:, :48] @ w
+        return emb / jnp.linalg.norm(emb, axis=1, keepdims=True)
+
+    batches = []
+    for n in (16, 16, 5):       # 5 is not divisible by 8 -> padded+trimmed
+        imgs = rng.randint(0, 256, (n, 4, 4, 3), dtype=np.uint8)
+        batches.append((imgs, rng.randint(0, 3, n).astype(np.int32)))
+
+    single = facenet.evaluate_embeddings(forward, batches)
+    sharded = facenet.evaluate_embeddings(forward, batches, mesh=mesh8)
+    np.testing.assert_allclose(single[0], sharded[0], rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(single[1], sharded[1])
