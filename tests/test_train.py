@@ -212,3 +212,43 @@ def test_remat_matches_no_remat():
                               state.params['logits']['kernel']))))
     assert results[False][0] == pytest.approx(results[True][0], rel=1e-5)
     assert results[False][1] == pytest.approx(results[True][1], rel=1e-5)
+
+
+def test_training_makes_embeddings_discriminative():
+    """SURVEY §4 end-to-end check: after 2 tiny epochs on separable synthetic
+    classes, same-class pairs must be much closer than cross-class pairs."""
+    C = 4
+    rng_np = np.random.RandomState(0)
+    bases = [rng_np.randint(0, 200, (160, 160, 3)).astype(np.float32)
+             for _ in range(C)]
+
+    def make(n_per):
+        imgs, labels = [], []
+        for c in range(C):
+            for _ in range(n_per):
+                imgs.append(np.clip(bases[c] + rng_np.randn(160, 160, 3) * 10,
+                                    0, 255))
+                labels.append(c)
+        order = rng_np.permutation(len(imgs))
+        return (np.asarray(imgs, np.uint8)[order],
+                np.asarray(labels, np.int32)[order])
+
+    trainer = SoftmaxTrainer(train_cfg(), C, model_cfg=TINY_MODEL)
+    state = trainer.init_state(seed=0)
+    for epoch in range(2):
+        imgs, labels = make(10)
+        batches = [(imgs[i:i + 16], labels[i:i + 16])
+                   for i in range(0, len(imgs), 16)]
+        state, _ = trainer.train_epoch(state, iter(batches), epoch,
+                                       log_every=0)
+
+    fwd = trainer.embedding_forward(state)
+    imgs, labels = make(6)
+    embs = np.asarray(fwd(imgs), np.float32)
+    np.testing.assert_allclose(np.linalg.norm(embs, axis=1), 1.0, atol=1e-4)
+
+    d = ((embs[:, None] - embs[None, :]) ** 2).sum(-1)
+    iu = np.triu_indices(len(embs), 1)
+    same = (labels[:, None] == labels[None, :])[iu]
+    pos, neg = d[iu][same].mean(), d[iu][~same].mean()
+    assert pos < 0.3 * neg, f'pos {pos:.4f} vs neg {neg:.4f}'
