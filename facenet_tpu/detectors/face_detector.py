@@ -85,10 +85,11 @@ class BoundingBox:
 class FaceDetector:
     """Facade selecting a detection backend (ref face_detector.py:99-122).
 
-    Supported: 'mtcnn' (native TPU cascade; 'pypimtcnn' is an alias).
-    The reference's 'frcnnv3' frozen-TF1-graph backend has no TPU-native
-    equivalent (its weights are absent from the reference tree,
-    SURVEY.md §2 #14) and raises a clear error.
+    Supported:
+      * 'mtcnn' — native TPU cascade ('pypimtcnn' is an alias);
+      * 'frcnnv3' — native TPU two-stage Faster-RCNN
+        (detectors/frcnn; the reference's frozen-TF1-graph variant shipped
+        without weights, SURVEY.md §2 #14 — this is the trainable rebuild).
     """
 
     def __init__(self, detector='mtcnn', image_shape=(480, 640),
@@ -104,19 +105,27 @@ class FaceDetector:
                 from facenet_tpu.detectors.mtcnn.weights import (
                     load_davidsandberg_weights)
                 params = load_davidsandberg_weights(weights)
-            self._mtcnn = MTCNN(image_shape=image_shape, params=params,
-                                **kwargs)
+            self._backend = MTCNN(image_shape=image_shape, params=params,
+                                  **kwargs)
             if params is not None:
                 from facenet_tpu.detectors.mtcnn.weights import validate_params
-                validate_params(params, self._mtcnn)
+                validate_params(params, self._backend)
         elif detector == 'frcnnv3':
-            raise NotImplementedError(
-                "the 'frcnnv3' frozen-TF1-graph detector is not available in "
-                "facenet_tpu (its weights are missing from the reference); "
-                "use detector='mtcnn'")
+            from facenet_tpu.detectors.frcnn import FasterRCNN
+            self.mode = 'RGB'
+            if params is None and weights:
+                import numpy as _np
+                params = _np.load(weights, allow_pickle=True).item()
+            self._backend = FasterRCNN(image_shape=image_shape,
+                                       params=params, **kwargs)
         else:
             raise ValueError(
                 'Undefined face detector type {}'.format(detector))
+
+    # kept name for callers that reach for the cascade directly
+    @property
+    def _mtcnn(self):
+        return self._backend
 
     def detect(self, image):
         """Single-image detect -> list of BoundingBox (reference API)."""
@@ -131,8 +140,9 @@ class FaceDetector:
         from facenet_tpu.detectors.mtcnn.cascade import letterbox_batch
 
         batch, scales, pads = letterbox_batch(
-            [np.asarray(img) for img in images], self._mtcnn.image_shape)
-        out = self._mtcnn.detect_batch(batch)
+            [np.asarray(img) for img in images], self._backend.image_shape)
+        out = self._backend.detect_batch(batch)
+        landmarks = out.get('landmarks')      # frcnnv3 predicts boxes only
 
         results = []
         for i in range(len(images)):
@@ -146,7 +156,9 @@ class FaceDetector:
                 x2 = (x2 - pads[i, 0]) / scales[i]
                 y1 = (y1 - pads[i, 1]) / scales[i]
                 y2 = (y2 - pads[i, 1]) / scales[i]
-                lmk = (out['landmarks'][i, k] - pads[i][None, :]) / scales[i]
+                lmk = None
+                if landmarks is not None:
+                    lmk = (landmarks[i, k] - pads[i][None, :]) / scales[i]
                 boxes_i.append(BoundingBox(
                     left=x1, top=y1, width=x2 - x1, height=y2 - y1,
                     confidence=float(out['scores'][i, k]), landmarks=lmk))
