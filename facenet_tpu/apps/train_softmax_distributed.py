@@ -23,19 +23,32 @@ from facenet_tpu import config
 @click.option('--config', 'config_file', default=None, type=Path,
               help='Path to yaml config file with used options of the application.')
 def main(**options):
+    # Read the raw config cascade FIRST (no side effects): the full
+    # preparer seeds jax RNGs, which initializes the local backend —
+    # jax.distributed.initialize must run before any JAX computation.
+    raw = config.load_config(__file__, {'config': options['config_file']})
+
+    if raw.distributed.enable:
+        import jax
+        dist = raw.distributed
+
+        def is_set(value):
+            # missing Config keys come back as falsy empty Configs; 0 is a
+            # legitimate process_id, so test for "missing", not truthiness
+            return value is not None and value != '' and not (
+                hasattr(value, 'as_dict') and not value)
+
+        kwargs = {}
+        if dist.coordinator_address:
+            kwargs['coordinator_address'] = str(dist.coordinator_address)
+        if dist.num_processes:
+            kwargs['num_processes'] = int(dist.num_processes)
+        if is_set(dist.process_id):
+            kwargs['process_id'] = int(dist.process_id)
+        jax.distributed.initialize(**kwargs)
+
     cfg = config.train_softmax({'config': options['config_file']},
                                app_file_name=__file__)
-
-    if cfg.distributed.enable:
-        import jax
-        kwargs = {}
-        if cfg.distributed.coordinator_address:
-            kwargs['coordinator_address'] = str(cfg.distributed.coordinator_address)
-        if cfg.distributed.num_processes:
-            kwargs['num_processes'] = int(cfg.distributed.num_processes)
-        if cfg.distributed.process_id is not None and cfg.distributed.process_id != '':
-            kwargs['process_id'] = int(cfg.distributed.process_id)
-        jax.distributed.initialize(**kwargs)
 
     import jax
     print(f'devices: {jax.device_count()} '

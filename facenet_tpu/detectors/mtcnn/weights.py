@@ -121,7 +121,9 @@ def load_davidsandberg_weights(path, fc_order='nhwc'):
         p1, p2, p3 = base / 'det1.npy', base / 'det2.npy', base / 'det3.npy'
 
     def load(p):
-        data = np.load(p, allow_pickle=True)
+        # the original davidsandberg files are Python-2 pickles; latin1 is
+        # the standard decode for them and is harmless for py3 pickles
+        data = np.load(p, allow_pickle=True, encoding='latin1')
         return data.item() if hasattr(data, 'item') else dict(data)
 
     return {

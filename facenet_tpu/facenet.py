@@ -182,11 +182,18 @@ class EvaluationOfEmbeddings:
         loader = Loader(config=config.image)
         batches = dbase.batches(loader, batch_size=int(config.batch_size or 100))
 
-        # optional data-parallel extraction over all chips (config.mesh)
+        # optional data-parallel extraction (config.mesh; data null = all
+        # devices, the same convention as mesh.create_mesh)
         mesh = None
-        if config.mesh and int(config.mesh.data or 0) > 1:
+        if config.mesh:
+            import jax
             from facenet_tpu.parallel import mesh as mesh_mod
-            mesh = mesh_mod.create_mesh(data=int(config.mesh.data), model=1)
+            data = config.mesh.data
+            missing = data is None or data == '' or (
+                hasattr(data, 'as_dict') and not data)
+            n_data = jax.device_count() if missing else int(data)
+            if n_data > 1:
+                mesh = mesh_mod.create_mesh(data=n_data, model=1)
 
         self.embeddings, self.labels = evaluate_embeddings(forward_fn, batches,
                                                            mesh=mesh)

@@ -142,9 +142,10 @@ class NativeBatchLoader:
 
         arr = (ctypes.c_char_p * len(self.files))(
             *[os.fsencode(f) for f in self.files])
+        self.queue_depth = max(int(prefetch), 1)
         self._handle = lib.fn_loader_create(
             arr, len(self.files), h, w, int(mode), int(num_threads),
-            int(prefetch))
+            self.queue_depth)
         self._in_flight = 0
         self._closed = False
 
@@ -155,7 +156,6 @@ class NativeBatchLoader:
             self._handle, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
             len(idx))
         self._in_flight += 1
-        self._last_n = len(idx)
         return len(idx)
 
     def wait(self, batch_size):
@@ -178,11 +178,11 @@ class NativeBatchLoader:
         """
         pending = []
         it = iter(index_batches)
-        # Prime the pipeline.
+        # Prime the pipeline up to the loader's queue depth — submitting a
+        # (queue_depth + 1)-th batch would block in C++ until a wait().
         for batch in it:
-            n = self.submit(batch)
-            pending.append(n)
-            if len(pending) >= 2:
+            pending.append(self.submit(batch))
+            if len(pending) >= self.queue_depth:
                 break
         for batch in it:
             yield self.wait(pending.pop(0))

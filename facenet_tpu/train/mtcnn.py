@@ -169,9 +169,18 @@ class MTCNNTrainer:
         return self._step(state, batch)
 
     def train(self, state, batches, epochs=1, log_every=100):
+        """Train over `batches` for `epochs` epochs.
+
+        `batches` may be a factory (callable returning a fresh iterable per
+        epoch) or a re-iterable sequence; a plain generator is materialized
+        when epochs > 1 so later epochs don't silently run zero steps.
+        """
+        if not callable(batches) and epochs > 1 and iter(batches) is batches:
+            batches = list(batches)
         metrics = None
         for epoch in range(epochs):
-            for n, batch in enumerate(batches, 1):
+            epoch_batches = batches() if callable(batches) else batches
+            for n, batch in enumerate(epoch_batches, 1):
                 state, metrics = self.train_step(state, *batch)
                 if log_every and n % log_every == 0:
                     m = {k: float(v) for k, v in metrics.items()}

@@ -305,11 +305,14 @@ class SoftmaxTrainer:
             from jax import profiler as jax_profiler
             jax_profiler.stop_trace()
 
-        dt = time.monotonic() - t0
+        # sync BEFORE reading the clock: steps chain through `state`, so
+        # materializing the last step's metrics waits for the whole epoch
+        # (async dispatch makes unsynced timing lie — see CLAUDE.md)
         m = {k: float(v) for k, v in (metrics or {}).items()}
+        dt = time.monotonic() - t0
         m['epoch_time_s'] = dt
         m['steps'] = n
-        m['img_per_s'] = timer.items_per_sec
+        m['img_per_s'] = (n * timer.items_per_step / dt) if dt > 0 else 0.0
         return state, m
 
     # ------------------------------------------------------------------

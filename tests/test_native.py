@@ -99,3 +99,22 @@ def test_batch_loader_matches_image_loader(image_dir):
     assert sum(b[0].shape[0] for b in batches) == len(paths)
     np.testing.assert_array_equal(batches[0][0][0], loader(paths[0]))
     assert batches[0][1].tolist() == [0, 1, 2, 3, 4]
+
+
+def test_batch_loader_prefetch_one_no_deadlock(image_dir):
+    # regression: priming 2 batches with queue_depth 1 deadlocked in submit
+    paths, _ = image_dir
+    ldr = native.NativeBatchLoader(paths, 32, prefetch=1, num_threads=2)
+    batches = [[0, 1], [2, 3], [4, 5], [6]]
+    got = list(ldr.iterate(batches))
+    ldr.close()
+    assert [g[0].shape[0] for g in got] == [2, 2, 2, 1]
+
+
+def test_batch_loader_deep_prefetch(image_dir):
+    paths, _ = image_dir
+    ldr = native.NativeBatchLoader(paths, 32, prefetch=4, num_threads=2)
+    batches = [[i % len(paths)] for i in range(10)]
+    got = list(ldr.iterate(batches))
+    ldr.close()
+    assert len(got) == 10

@@ -125,3 +125,28 @@ def test_trained_pnet_slots_into_cascade():
     det2 = MTCNN(image_shape=(128, 128), params=params)
     out = det2.detect_batch(np.zeros((1, 128, 128, 3), np.uint8))
     assert out['boxes'].shape[0] == 1
+
+
+def test_train_accepts_generator_for_multiple_epochs():
+    # regression: a generator passed with epochs > 1 silently trained only
+    # the first epoch
+    rng = np.random.RandomState(0)
+    trainer = tm.MTCNNTrainer(net='pnet', learning_rate=1e-3)
+    state = trainer.init_state(seed=0)
+    s = trainer.size
+
+    def one_batch():
+        crops = rng.randint(0, 255, (8, s, s, 3)).astype(np.uint8)
+        labels = np.array([1, 1, 1, 1, 0, 0, 0, 0], np.int32)
+        st = np.array([tm.POSITIVE] * 4 + [tm.NEGATIVE] * 4, np.int32)
+        return (crops, labels, np.zeros((8, 4), np.float32),
+                np.zeros((8, 10), np.float32), st)
+
+    gen = (one_batch() for _ in range(3))
+    state, _ = trainer.train(state, gen, epochs=2, log_every=0)
+    assert int(state['step']) == 6     # 3 batches x 2 epochs
+
+    # factory form
+    state, _ = trainer.train(state, lambda: [one_batch() for _ in range(2)],
+                             epochs=2, log_every=0)
+    assert int(state['step']) == 10
