@@ -27,6 +27,19 @@ def main(**options):
     ioutils.write_text_log(options.logfile, embeddings)
     print(embeddings)
 
+    # optional: shard the all-pairs statistics over the mesh (same
+    # mesh block as embedding extraction; data null = all devices)
+    if options.mesh:
+        import jax
+        from facenet_tpu.parallel import mesh as mesh_mod
+        data = options.mesh.data
+        missing = data is None or data == '' or (
+            hasattr(data, 'as_dict') and not data)
+        n_data = jax.device_count() if missing else int(data)
+        if n_data > 1:
+            statistics.set_eval_mesh(mesh_mod.create_mesh(data=n_data,
+                                                          model=1))
+
     validate = statistics.FaceToFaceValidation(
         embeddings.embeddings, embeddings.labels, options.validate)
     ioutils.write_text_log(options.logfile, validate)
