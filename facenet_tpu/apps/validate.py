@@ -43,6 +43,7 @@ def main(**options):
     validate = statistics.FaceToFaceValidation(
         embeddings.embeddings, embeddings.labels, options.validate)
     ioutils.write_text_log(options.logfile, validate)
+    validate.write_h5file(Path(options.logfile).with_suffix('.h5'))
     print(validate)
 
     ioutils.write_elapsed_time(options.logfile, start_time)

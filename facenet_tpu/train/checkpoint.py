@@ -27,15 +27,21 @@ class CheckpointManager:
         )
 
     def save(self, step, state):
-        """Save a TrainState (or any pytree) at `step`."""
+        """Save a TrainState (or any pytree) at `step` — asynchronously.
+
+        Orbax writes in the background so the train loop continues
+        immediately (SURVEY.md §5 checkpoint plan); restore()/close() wait
+        for any in-flight write first.
+        """
         self._mgr.save(int(step), args=ocp.args.StandardSave(_to_savable(state)))
-        self._mgr.wait_until_finished()
 
     def latest_step(self):
+        self._mgr.wait_until_finished()
         return self._mgr.latest_step()
 
     def restore(self, abstract_state, step=None):
         """Restore into the structure of `abstract_state` (a template pytree)."""
+        self._mgr.wait_until_finished()
         if step is None:
             step = self._mgr.latest_step()
         if step is None:
@@ -46,11 +52,16 @@ class CheckpointManager:
         return _from_savable(abstract_state, restored)
 
     def close(self):
+        self._mgr.wait_until_finished()
         self._mgr.close()
 
 
 def _to_savable(state):
-    """TrainState -> plain dict pytree (drop None leaves orbax can't store)."""
+    """TrainState -> plain dict pytree (drop None leaves orbax can't store).
+
+    Plain dict/pytree states pass through unchanged."""
+    if not hasattr(state, 'params'):
+        return state
     d = {
         'step': state.step,
         'params': state.params,
@@ -64,6 +75,8 @@ def _to_savable(state):
 
 
 def _from_savable(template, restored):
+    if not hasattr(template, 'params'):
+        return restored
     kw = dict(
         step=restored['step'],
         params=restored['params'],
