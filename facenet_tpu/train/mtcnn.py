@@ -207,23 +207,30 @@ def _iou_one_to_many(box, boxes):
 
 
 def generate_training_crops(image, gt_boxes, out_size, rng,
-                            n_negatives=16, n_per_box=8):
-    """Sample (crop, label, box_target, sample_type) tuples from one
-    annotated image — the paper's pos/neg/part sampling (IoU 0.65/0.3/0.4).
+                            n_negatives=16, n_per_box=8, gt_landmarks=None):
+    """Sample (crop, label, box_target[, lmk_target], sample_type) tuples
+    from one annotated image — the paper's pos/neg/part sampling
+    (IoU 0.65/0.3/0.4), plus LANDMARK samples when 5-point annotations are
+    provided.
 
     Box targets are the standard MTCNN normalized offsets
-    ((gt - anchor) / anchor_side) for the crop window.
+    ((gt - anchor) / anchor_side) for the crop window; landmark targets are
+    the 5 points normalized to the crop window ((p - origin) / side),
+    flattened [x1..x5, y1..y5] to match ONet's output layout.
 
     :param image: [H, W, 3] uint8; gt_boxes [G, 4] pixel (x1, y1, x2, y2)
+    :param gt_landmarks: optional [G, 5, 2] pixel landmark annotations
     :returns: (crops [N,S,S,3] uint8, labels [N], box_targets [N,4],
-        sample_types [N])
+        lmk_targets [N,10], sample_types [N])
     """
     h, w = image.shape[:2]
     s = int(out_size)
-    crops, labels, targets, types = [], [], [], []
+    crops, labels, targets, lmk_targets, types = [], [], [], [], []
     gt = np.asarray(gt_boxes, np.float32).reshape(-1, 4)
+    lmks = (np.asarray(gt_landmarks, np.float32).reshape(-1, 5, 2)
+            if gt_landmarks is not None else None)
 
-    def emit(win, label, target, typ):
+    def emit(win, label, target, typ, lmk_t=None):
         x1, y1, x2, y2 = [int(round(v)) for v in win]
         x1c, y1c = max(x1, 0), max(y1, 0)
         x2c, y2c = min(x2, w), min(y2, h)
@@ -236,6 +243,8 @@ def generate_training_crops(image, gt_boxes, out_size, rng,
         crops.append(patch[yi][:, xi])
         labels.append(label)
         targets.append(target)
+        lmk_targets.append(lmk_t if lmk_t is not None
+                           else np.zeros(10, np.float32))
         types.append(typ)
 
     # negatives: random windows with IoU < 0.3 to every gt box
@@ -271,10 +280,32 @@ def generate_training_crops(image, gt_boxes, out_size, rng,
             elif iou > 0.4:
                 emit(win, 0, target, PART)
 
+    # landmark samples: tight windows around annotated faces with the 5
+    # points normalized into the window ([x1..x5, y1..y5], ONet layout)
+    if lmks is not None:
+        for g, pts in zip(gt, lmks):
+            gw, gh = g[2] - g[0], g[3] - g[1]
+            if gw < 8 or gh < 8:
+                continue
+            for _ in range(max(n_per_box // 2, 1)):
+                side = rng.uniform(0.9, 1.1) * max(gw, gh)
+                cx = (g[0] + g[2]) / 2 + rng.uniform(-0.1, 0.1) * gw
+                cy = (g[1] + g[3]) / 2 + rng.uniform(-0.1, 0.1) * gh
+                win = np.array([cx - side / 2, cy - side / 2,
+                                cx + side / 2, cy + side / 2], np.float32)
+                norm = (pts - win[None, :2]) / side
+                if norm.min() < 0 or norm.max() > 1:
+                    continue
+                lmk_t = np.concatenate([norm[:, 0], norm[:, 1]]
+                                       ).astype(np.float32)
+                emit(win, 1, np.zeros(4, np.float32), LANDMARK, lmk_t)
+
     if not crops:
         return (np.zeros((0, s, s, 3), np.uint8), np.zeros(0, np.int32),
-                np.zeros((0, 4), np.float32), np.zeros(0, np.int32))
+                np.zeros((0, 4), np.float32), np.zeros((0, 10), np.float32),
+                np.zeros(0, np.int32))
     return (np.stack(crops).astype(np.uint8),
             np.asarray(labels, np.int32),
             np.stack(targets),
+            np.stack(lmk_targets),
             np.asarray(types, np.int32))

@@ -86,6 +86,12 @@ def make_train_step(model, tx, loss_cfg, augment_cfg=None, image_size=160,
     center_alfa = float(loss_cfg.center_alfa or 0.95)
     triplet_factor = float(loss_cfg.triplet_factor or 0.0)
     triplet_margin = float(loss_cfg.triplet_margin or 0.2)
+    # softmax CE weight; 0 makes triplet (or center) the primary objective —
+    # the FaceNet-paper recipe (BASELINE.json configs[4]). softmax_factor is
+    # "missing means 1.0", not `or`-defaulted, because 0 is a valid setting.
+    sf = loss_cfg.softmax_factor
+    softmax_factor = 1.0 if sf is None or sf == '' or (
+        hasattr(sf, 'as_dict') and not sf) else float(sf)
     random_crop = bool(augment_cfg.random_crop) if augment_cfg else False
     random_flip = bool(augment_cfg.random_flip) if augment_cfg else False
 
@@ -103,7 +109,7 @@ def make_train_step(model, tx, loss_cfg, augment_cfg=None, image_size=160,
 
         ce = losses_mod.softmax_cross_entropy_with_logits(logits, labels)
         reg = l2_regularization(params, WEIGHT_DECAY)
-        total = ce + reg
+        total = softmax_factor * ce + reg
 
         metrics = {'cross_entropy': ce, 'regularization': reg}
 

@@ -252,3 +252,24 @@ def test_training_makes_embeddings_discriminative():
     same = (labels[:, None] == labels[None, :])[iu]
     pos, neg = d[iu][same].mean(), d[iu][~same].mean()
     assert pos < 0.3 * neg, f'pos {pos:.4f} vs neg {neg:.4f}'
+
+
+def test_pure_triplet_training():
+    """softmax_factor 0 + triplet_factor > 0: the FaceNet-paper objective."""
+    cfg = train_cfg(triplet_factor=1.0, softmax_factor=0.0)
+    trainer = SoftmaxTrainer(cfg, NROF_CLASSES, model_cfg=TINY_MODEL)
+    state = trainer.init_state(seed=0)
+    rng_np = np.random.RandomState(0)
+    # P x K style batch: 4 classes x 2 examples
+    imgs = rng_np.randint(0, 256, (8, 160, 160, 3), np.uint8)
+    labels = np.repeat(np.arange(4), 2).astype(np.int32)
+
+    state, m0 = trainer.step_fn(state, imgs, labels)
+    losses = [float(m0['triplet_loss'])]
+    for _ in range(4):
+        state, m = trainer.step_fn(state, imgs, labels)
+        losses.append(float(m['triplet_loss']))
+    # CE is excluded from the total; triplet must drive it down
+    assert float(m['loss']) == pytest.approx(
+        float(m['triplet_loss']) + float(m['regularization']), rel=1e-4)
+    assert losses[-1] < losses[0]

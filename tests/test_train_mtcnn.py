@@ -69,10 +69,11 @@ def test_generate_training_crops_invariants():
     image = rng.randint(0, 256, (120, 160, 3), dtype=np.uint8)
     gt = np.array([[40, 30, 90, 80], [100, 60, 140, 100]], np.float32)
 
-    crops, labels, targets, types = tm.generate_training_crops(
+    crops, labels, targets, lmk_targets, types = tm.generate_training_crops(
         image, gt, out_size=12, rng=rng)
 
     assert crops.shape[1:] == (12, 12, 3)
+    assert lmk_targets.shape == (len(crops), 10)
     assert len(crops) == len(labels) == len(targets) == len(types)
     assert (types == tm.NEGATIVE).sum() > 0
     assert ((types == tm.POSITIVE) | (types == tm.PART)).sum() > 0
@@ -150,3 +151,20 @@ def test_train_accepts_generator_for_multiple_epochs():
     state, _ = trainer.train(state, lambda: [one_batch() for _ in range(2)],
                              epochs=2, log_every=0)
     assert int(state['step']) == 10
+
+
+def test_generate_landmark_samples():
+    rng = np.random.RandomState(0)
+    image = rng.randint(0, 256, (120, 160, 3), dtype=np.uint8)
+    gt = np.array([[40, 30, 90, 80]], np.float32)
+    # 5 landmarks inside the box
+    lmk = np.array([[[52, 45], [78, 45], [65, 57], [55, 68], [75, 68]]],
+                   np.float32)
+    crops, labels, targets, lmk_t, types = tm.generate_training_crops(
+        image, gt, out_size=48, rng=rng, gt_landmarks=lmk)
+    lm = types == tm.LANDMARK
+    assert lm.sum() > 0
+    # landmark targets normalized into [0, 1], x-block then y-block
+    assert lmk_t[lm].min() >= 0 and lmk_t[lm].max() <= 1
+    # non-landmark samples carry zero landmark targets
+    assert (lmk_t[~lm] == 0).all()
