@@ -255,8 +255,6 @@ def test_face_detector_unknown_backend():
     from facenet_tpu.detectors.face_detector import FaceDetector
     with pytest.raises(ValueError):
         FaceDetector(detector='nope')
-    with pytest.raises(NotImplementedError):
-        FaceDetector(detector='frcnnv3')
 
 
 def test_bounding_box_semantics():
