@@ -61,7 +61,14 @@ class FaceNet:
         bundle = export.load_model(path)
         self.model = bundle.model
         self.variables = bundle.variables
-        self.normalize = bool(config.normalize) if config.exists('normalize') else True
+        # both spellings are honored: the app configs say
+        # `model.normalization` (embeddings.yaml), the class API `normalize`
+        if config.exists('normalize'):
+            self.normalize = bool(config.normalize)
+        elif config.exists('normalization'):
+            self.normalize = bool(config.normalization)
+        else:
+            self.normalize = True
 
         model = self.model
         normalize = self.normalize

@@ -30,8 +30,18 @@ def run(cfg):
     logging.configure_logging(cfg.logs)
 
     # ------------------------------------------------------------------
-    # datasets
+    # datasets. With random_crop the TRAIN loader decodes larger images
+    # (image.load_size, default size + 22 — the reference's 182 -> 160
+    # recipe) and the in-step augmentation crops back to image.size; eval
+    # always loads at the model input size.
     loader = dataset.ImageLoader(config=cfg.image)
+    if cfg.image.random_crop:
+        ls = cfg.image.load_size
+        missing = ls is None or ls == '' or (hasattr(ls, 'as_dict') and not ls)
+        load_size = int(cfg.image.size) + 22 if missing else int(ls)
+        train_loader = dataset.ImageLoader(size=load_size)
+    else:
+        train_loader = loader
 
     train_dbase = dataset.Database(cfg.dataset)
     ioutils.write_text_log(cfg.logs.dir / 'report.txt', train_dbase)
@@ -43,8 +53,9 @@ def run(cfg):
         if str(cfg.sampler or '') == 'pk' or float(cfg.loss.triplet_factor
                                                    or 0.0) > 0:
             return dataset.pipeline_with_equal_batches(
-                loader, train_dbase.classes, cfg, seed=int(cfg.seed))
-        return train_dbase.batches(loader, batch_size=int(cfg.batch_size),
+                train_loader, train_dbase.classes, cfg, seed=int(cfg.seed))
+        return train_dbase.batches(train_loader,
+                                   batch_size=int(cfg.batch_size),
                                    shuffle=True, repeat=True,
                                    drop_remainder=True, seed=int(cfg.seed))
 

@@ -323,6 +323,17 @@ class BatchLoader:
         stop = threading.Event()
         q = queue_mod.Queue(maxsize=max(self.prefetch, 1))
 
+        def put_unless_stopped(item):
+            # bounded put that gives up when the consumer abandoned the
+            # iterator (a blocking q.put would leak this thread forever)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue_mod.Full:
+                    continue
+            return False
+
         def produce():
             with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                 try:
@@ -332,9 +343,10 @@ class BatchLoader:
                         images = list(pool.map(
                             lambda i: self.loader(self.files[i]), idx))
                         batch = np.stack(images)
-                        q.put((batch, self.labels[idx]))
+                        if not put_unless_stopped((batch, self.labels[idx])):
+                            return
                 finally:
-                    q.put(None)
+                    put_unless_stopped(None)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()

@@ -174,10 +174,14 @@ class EvaluationOfEmbeddings:
         self.config = config
         self.dbase = dbase
 
+        renormalize = True
         if forward_fn is None:
             from facenet_tpu import FaceNet
             facenet = FaceNet(config.model)
             forward_fn = facenet.evaluate
+            # when raw (unnormalized) embeddings were requested, the host
+            # must not re-normalize them either
+            renormalize = facenet.normalize
 
         loader = Loader(config=config.image)
         batches = dbase.batches(loader, batch_size=int(config.batch_size or 100))
@@ -195,8 +199,8 @@ class EvaluationOfEmbeddings:
             if n_data > 1:
                 mesh = mesh_mod.create_mesh(data=n_data, model=1)
 
-        self.embeddings, self.labels = evaluate_embeddings(forward_fn, batches,
-                                                           mesh=mesh)
+        self.embeddings, self.labels = evaluate_embeddings(
+            forward_fn, batches, renormalize=renormalize, mesh=mesh)
         logger.info(str(self))
 
     def __repr__(self):

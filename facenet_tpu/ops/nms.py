@@ -94,13 +94,27 @@ def batched_nms_mask(boxes, scores, valid, iou_threshold, mode='union'):
 def top_k_boxes(boxes, scores, valid, k):
     """Select the top-k valid boxes by score into fixed [k, 4] buffers.
 
+    Works for k > len(scores) too: outputs pad with invalid entries (small
+    image geometries can yield fewer pyramid proposals than the capacity,
+    and jax.lax.top_k requires k <= axis size).
+
     Returns (boxes [k,4], scores [k], valid [k]).
     """
+    n = scores.shape[0]
+    kk = min(int(k), n)
     masked = jnp.where(valid, scores, -jnp.inf)
-    top_scores, idx = jax.lax.top_k(masked, k)
+    top_scores, idx = jax.lax.top_k(masked, kk)
     top_boxes = boxes[idx]
     top_valid = jnp.isfinite(top_scores)
     top_scores = jnp.where(top_valid, top_scores, 0.0)
+    if kk < k:
+        pad = int(k) - kk
+        top_boxes = jnp.concatenate(
+            [top_boxes, jnp.zeros((pad, 4), top_boxes.dtype)])
+        top_scores = jnp.concatenate(
+            [top_scores, jnp.zeros((pad,), top_scores.dtype)])
+        top_valid = jnp.concatenate(
+            [top_valid, jnp.zeros((pad,), bool)])
     return top_boxes, top_scores, top_valid
 
 

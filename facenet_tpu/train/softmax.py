@@ -221,21 +221,37 @@ class SoftmaxTrainer:
 
     def shard_state(self, state):
         """Place the state on the mesh: logits head sharded over 'model',
-        everything else replicated."""
+        everything else replicated. Adam's mu/nu moments mirror the params
+        pytree, so they take the params shardings — a sharded logits kernel
+        keeps its optimizer state sharded the same way (no per-chip full
+        copies, no resharding inside the step)."""
         p_shard = mesh_mod.param_shardings(self.mesh, state.params)
         rep = mesh_mod.replicated(self.mesh)
 
         def put(tree, shardings):
             return jax.tree_util.tree_map(jax.device_put, tree, shardings)
 
-        opt_shard = jax.tree_util.tree_map(
-            lambda leaf: _match_opt_sharding(leaf, p_shard, self.mesh),
-            state.opt_state, is_leaf=lambda x: isinstance(x, (jnp.ndarray, np.ndarray)))
+        pdef = jax.tree_util.tree_structure(state.params)
+
+        def params_like(node):
+            try:
+                return jax.tree_util.tree_structure(node) == pdef
+            except Exception:
+                return False
+
+        def place_opt(node):
+            if params_like(node):
+                return put(node, p_shard)
+            return jax.device_put(node, rep)
+
+        opt_state = jax.tree_util.tree_map(
+            place_opt, state.opt_state,
+            is_leaf=lambda n: params_like(n) or hasattr(n, 'shape'))
 
         return state.replace(
             params=put(state.params, p_shard),
             batch_stats=jax.device_put(state.batch_stats, rep),
-            opt_state=jax.device_put(state.opt_state, rep),
+            opt_state=opt_state,
             centers=(jax.device_put(state.centers, rep)
                      if state.centers is not None else None),
             rng=jax.device_put(state.rng, rep),
@@ -338,5 +354,3 @@ class SoftmaxTrainer:
         return fn
 
 
-def _match_opt_sharding(leaf, param_shardings, mesh):
-    return leaf  # optimizer state stays replicated (backbone dominates)

@@ -273,3 +273,18 @@ def test_pure_triplet_training():
     assert float(m['loss']) == pytest.approx(
         float(m['triplet_loss']) + float(m['regularization']), rel=1e-4)
     assert losses[-1] < losses[0]
+
+
+def test_random_crop_trains_on_larger_images():
+    """With random_crop, the step crops load_size images back to image.size
+    (reference 182 -> 160 recipe) — previously a silent no-op because the
+    loader already emitted crop-sized images."""
+    cfg = train_cfg()
+    cfg.image.random_crop = True
+    trainer = SoftmaxTrainer(cfg, NROF_CLASSES, model_cfg=TINY_MODEL)
+    state = trainer.init_state(seed=0)
+    rng_np = np.random.RandomState(0)
+    imgs = rng_np.randint(0, 256, (4, 182, 182, 3), np.uint8)
+    labels = rng_np.randint(0, NROF_CLASSES, 4).astype(np.int32)
+    state, metrics = trainer.step_fn(state, imgs, labels)
+    assert np.isfinite(float(metrics['loss']))
