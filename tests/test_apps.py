@@ -280,3 +280,22 @@ def test_train_softmax_app_pk_sampler_with_triplet(face_tree, tmp_path):
     assert result.exit_code == 0, result.output
     report = list((tmp_path / 'run').glob('*/logs/report.txt'))[0].read_text()
     assert 'triplet_loss' in report
+
+
+def test_train_softmax_resume_from_checkpoint(face_tree, tmp_path):
+    """Reference resume workflow: point model.checkpoint at a previous run's
+    checkpoints dir; the new run continues from the saved step."""
+    from facenet_tpu.apps.train_softmax import main
+
+    cfg_file = tmp_path / 'train_softmax.yaml'
+    cfg_file.write_text(yaml.safe_dump(_train_cfg_dict(face_tree, tmp_path)))
+    result = CliRunner().invoke(main, ['--config', str(cfg_file)])
+    assert result.exit_code == 0, result.output
+    first_run = sorted((tmp_path / 'run').glob('*'))[0]
+
+    cfg2 = _train_cfg_dict(face_tree, tmp_path)
+    cfg2['model']['checkpoint'] = str(first_run / 'checkpoints')
+    cfg_file.write_text(yaml.safe_dump(cfg2))
+    result = CliRunner().invoke(main, ['--config', str(cfg_file)])
+    assert result.exit_code == 0, result.output
+    assert 'Restored checkpoint step 2' in result.output, result.output
