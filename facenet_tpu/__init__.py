@@ -83,8 +83,15 @@ class FaceNet:
             else int(check_output_size(self.model))
 
     def evaluate(self, images):
-        """Run forward pass to calculate embeddings for a uint8 NHWC batch."""
-        images = np.asarray(images, dtype=np.uint8)
+        """Run forward pass to calculate embeddings for a uint8 NHWC batch.
+
+        Device arrays pass through untouched so sharded inputs (see
+        facenet.sharded_forward) keep their placement — coercing them to
+        numpy here would silently undo the data-parallel split.
+        """
+        import jax
+        if not isinstance(images, jax.Array):
+            images = np.asarray(images, dtype=np.uint8)
         return np.asarray(self._forward(images))
 
     def image_to_embedding(self, image_arrays: Iterable[np.ndarray]) -> np.ndarray:

@@ -36,9 +36,8 @@ def run(cfg):
     # always loads at the model input size.
     loader = dataset.ImageLoader(config=cfg.image)
     if cfg.image.random_crop:
-        ls = cfg.image.load_size
-        missing = ls is None or ls == '' or (hasattr(ls, 'as_dict') and not ls)
-        load_size = int(cfg.image.size) + 22 if missing else int(ls)
+        load_size = int(config.value_or(cfg.image.load_size,
+                                        int(cfg.image.size) + 22))
         train_loader = dataset.ImageLoader(size=load_size)
     else:
         train_loader = loader
@@ -46,12 +45,15 @@ def run(cfg):
     train_dbase = dataset.Database(cfg.dataset)
     ioutils.write_text_log(cfg.logs.dir / 'report.txt', train_dbase)
 
+    def use_pk_sampler():
+        return (str(cfg.sampler or '') == 'pk' or
+                float(cfg.loss.triplet_factor or 0.0) > 0)
+
     def train_batches():
         # P-classes x K-images batches when metric-learning losses are on
         # (semi-hard triplet mining needs same-class pairs in every batch,
         # ref dataset.py:46-101); plain shuffled batches otherwise
-        if str(cfg.sampler or '') == 'pk' or float(cfg.loss.triplet_factor
-                                                   or 0.0) > 0:
+        if use_pk_sampler():
             return dataset.pipeline_with_equal_batches(
                 train_loader, train_dbase.classes, cfg, seed=int(cfg.seed))
         return train_dbase.batches(train_loader,
@@ -70,6 +72,21 @@ def run(cfg):
     # (IRv1/IRv2), `config:` its topology (models/__init__.py registry)
     trainer = SoftmaxTrainer(cfg, nrof_classes=train_dbase.nrof_classes,
                              model_cfg=cfg.model)
+
+    # P x K batches must split evenly over the data mesh axis (device_put
+    # with a sharded batch dim requires divisibility); bump P to the next
+    # compatible value rather than crashing on the first step
+    if use_pk_sampler():
+        n_data = trainer.mesh.shape['data']
+        p = int(config.value_or(cfg.nrof_classes_per_batch, 20))
+        k = int(config.value_or(cfg.nrof_examples_per_class, 5))
+        if (p * k) % n_data != 0:
+            import math
+            step = n_data // math.gcd(k, n_data)
+            new_p = -(-p // step) * step
+            print(f'adjusting nrof_classes_per_batch {p} -> {new_p} so the '
+                  f'P*K batch splits over {n_data} data shards')
+            cfg.nrof_classes_per_batch = new_p
     state = trainer.init_state(seed=int(cfg.seed))
 
     ckpt = CheckpointManager(cfg.model.path / 'checkpoints',

@@ -32,19 +32,14 @@ def main(**options):
         import jax
         dist = raw.distributed
 
-        def is_set(value):
-            # missing Config keys come back as falsy empty Configs; 0 is a
-            # legitimate process_id, so test for "missing", not truthiness
-            return value is not None and value != '' and not (
-                hasattr(value, 'as_dict') and not value)
-
         kwargs = {}
         if dist.coordinator_address:
             kwargs['coordinator_address'] = str(dist.coordinator_address)
         if dist.num_processes:
             kwargs['num_processes'] = int(dist.num_processes)
-        if is_set(dist.process_id):
-            kwargs['process_id'] = int(dist.process_id)
+        pid = config.value_or(dist.process_id, None)
+        if pid is not None:
+            kwargs['process_id'] = int(pid)
         jax.distributed.initialize(**kwargs)
 
     cfg = config.train_softmax({'config': options['config_file']},

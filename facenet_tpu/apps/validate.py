@@ -32,10 +32,7 @@ def main(**options):
     if options.mesh:
         import jax
         from facenet_tpu.parallel import mesh as mesh_mod
-        data = options.mesh.data
-        missing = data is None or data == '' or (
-            hasattr(data, 'as_dict') and not data)
-        n_data = jax.device_count() if missing else int(data)
+        n_data = int(config.value_or(options.mesh.data, jax.device_count()))
         if n_data > 1:
             statistics.set_eval_mesh(mesh_mod.create_mesh(data=n_data,
                                                           model=1))

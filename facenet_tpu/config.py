@@ -65,6 +65,20 @@ def config_paths(app_file_name, custom_config_file=None):
     return tuple(paths)
 
 
+def value_or(value, default):
+    """`value` unless it is a *missing* config entry — None, '', or the
+    falsy empty Config a missing key yields — else `default`.
+
+    Use this instead of ``value or default`` whenever 0/False are
+    legitimate settings (see CLAUDE.md conventions).
+    """
+    if value is None or value == '':
+        return default
+    if hasattr(value, 'as_dict') and not value:
+        return default
+    return value
+
+
 def set_seed(seed):
     """Seed python/numpy RNGs and return a jax PRNG key for functional code."""
     seed = int(seed or 0)

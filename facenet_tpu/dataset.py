@@ -367,34 +367,71 @@ class BatchLoader:
                 pass
 
 
-def pipeline_with_equal_batches(loader, classes, config, seed=None):
+def pipeline_with_equal_batches(loader, classes, config, seed=None,
+                                num_workers=8, prefetch=2):
     """P-classes x K-images equal-batch pipeline (ref dataset.py:46-101).
 
     Yields (images, labels) batches of size P*K forever. P/K default to the
-    reference's hardcoded 20/5 (ref :61-62) unless set in config.
+    reference's hardcoded 20/5 (ref :61-62) unless set in config. Decode
+    runs through the native prefetching loader when available (a serial
+    per-file loop would block the train step for ~P*K decode times), with
+    a thread-pool fallback.
     """
     nrof_classes_per_batch = int(config.nrof_classes_per_batch or 20)
     nrof_examples_per_class = int(config.nrof_examples_per_class or 5)
     config.nrof_classes_per_batch = nrof_classes_per_batch
     config.nrof_examples_per_class = nrof_examples_per_class
 
+    all_files = []
+    class_slices = []
+    usable = []
     for idx, _class in enumerate(classes):
         _class.index = idx
+        class_slices.append((len(all_files), _class.nrof_images))
+        all_files.extend(_class.files)
+        if _class.nrof_images >= nrof_examples_per_class:
+            usable.append(idx)
 
     rnd = random.Random(seed)
 
-    def generator():
+    def index_batches():
         while True:
-            batch_files = []
-            batch_labels = []
-            usable = [c for c in classes
-                      if c.nrof_images >= nrof_examples_per_class]
-            for cls in rnd.sample(usable, nrof_classes_per_batch):
-                batch_files += rnd.sample(cls.files, nrof_examples_per_class)
-                batch_labels += [cls.index] * nrof_examples_per_class
+            idx, labels = [], []
+            for ci in rnd.sample(usable, nrof_classes_per_batch):
+                start, n = class_slices[ci]
+                rows = rnd.sample(range(n), nrof_examples_per_class)
+                idx.extend(start + r for r in rows)
+                labels.extend([ci] * nrof_examples_per_class)
+            yield idx, np.asarray(labels, dtype=np.int32)
 
-            images = np.stack([loader(f) for f in batch_files])
-            yield images, np.asarray(batch_labels, dtype=np.int32)
+    mode = getattr(loader, 'native_mode', None)
+    if mode is not None:
+        from facenet_tpu import native
+        if native.available():
+            def native_gen():
+                ldr = native.NativeBatchLoader(
+                    all_files, (loader.height, loader.width), mode=mode,
+                    num_threads=num_workers, prefetch=max(prefetch, 1))
+                pending_labels = []
+
+                def stream():
+                    for idx, labels in index_batches():
+                        pending_labels.append(labels)
+                        yield idx
+
+                try:
+                    for images, _ok in ldr.iterate(stream()):
+                        yield images, pending_labels.pop(0)
+                finally:
+                    ldr.close()
+
+            return native_gen()
+
+    def generator():
+        with ThreadPoolExecutor(max_workers=num_workers) as pool:
+            for idx, labels in index_batches():
+                images = list(pool.map(lambda i: loader(all_files[i]), idx))
+                yield np.stack(images), labels
 
     return generator()
 

@@ -11,7 +11,6 @@ with fixed-capacity box buffers (masks, never ragged shapes).
 from __future__ import annotations
 
 from functools import partial
-from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +21,6 @@ from facenet_tpu.detectors.frcnn.network import (STRIDE, Backbone, RoIHead,
                                                  RPN, anchor_grid,
                                                  decode_deltas,
                                                  encode_deltas)
-from facenet_tpu.logging import logger
 from facenet_tpu.ops.image_ops import crop_and_resize
 from facenet_tpu.ops.nms import batched_nms_mask, top_k_boxes
 
@@ -166,9 +164,8 @@ def match_anchors(anchors, gt_boxes, pos_iou=0.7, neg_iou=0.3):
 class FasterRCNNTrainer:
     """Joint RPN + head training step for the face detector."""
 
-    def __init__(self, detector, learning_rate=1e-3, rpn_batch=256):
+    def __init__(self, detector, learning_rate=1e-3):
         self.det = detector
-        self.rpn_batch = int(rpn_batch)
         self.tx = optax.adam(learning_rate)
         self._step = jax.jit(self._train_step)
         self.anchors_np = np.asarray(detector.anchors)

@@ -191,11 +191,9 @@ class EvaluationOfEmbeddings:
         mesh = None
         if config.mesh:
             import jax
+            from facenet_tpu.config import value_or
             from facenet_tpu.parallel import mesh as mesh_mod
-            data = config.mesh.data
-            missing = data is None or data == '' or (
-                hasattr(data, 'as_dict') and not data)
-            n_data = jax.device_count() if missing else int(data)
+            n_data = int(value_or(config.mesh.data, jax.device_count()))
             if n_data > 1:
                 mesh = mesh_mod.create_mesh(data=n_data, model=1)
 

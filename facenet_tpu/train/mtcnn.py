@@ -270,6 +270,11 @@ def generate_training_crops(image, gt_boxes, out_size, rng,
             cy = (g[1] + g[3]) / 2 + rng.uniform(-0.2, 0.2) * gh
             win = np.array([cx - side / 2, cy - side / 2,
                             cx + side / 2, cy + side / 2], np.float32)
+            # windows extending past the border would be clipped by emit()
+            # while targets/IoU were computed for the unclipped window —
+            # discard them, as the paper's pipeline does
+            if win[0] < 0 or win[1] < 0 or win[2] > w or win[3] > h:
+                continue
             iou = _iou_one_to_many(win, g[None])[0]
             target = np.array([(g[0] - win[0]) / side,
                                (g[1] - win[1]) / side,
@@ -293,6 +298,8 @@ def generate_training_crops(image, gt_boxes, out_size, rng,
                 cy = (g[1] + g[3]) / 2 + rng.uniform(-0.1, 0.1) * gh
                 win = np.array([cx - side / 2, cy - side / 2,
                                 cx + side / 2, cy + side / 2], np.float32)
+                if win[0] < 0 or win[1] < 0 or win[2] > w or win[3] > h:
+                    continue
                 norm = (pts - win[None, :2]) / side
                 if norm.min() < 0 or norm.max() > 1:
                     continue

@@ -89,9 +89,8 @@ def make_train_step(model, tx, loss_cfg, augment_cfg=None, image_size=160,
     # softmax CE weight; 0 makes triplet (or center) the primary objective —
     # the FaceNet-paper recipe (BASELINE.json configs[4]). softmax_factor is
     # "missing means 1.0", not `or`-defaulted, because 0 is a valid setting.
-    sf = loss_cfg.softmax_factor
-    softmax_factor = 1.0 if sf is None or sf == '' or (
-        hasattr(sf, 'as_dict') and not sf) else float(sf)
+    from facenet_tpu.config import value_or
+    softmax_factor = float(value_or(loss_cfg.softmax_factor, 1.0))
     random_crop = bool(augment_cfg.random_crop) if augment_cfg else False
     random_flip = bool(augment_cfg.random_flip) if augment_cfg else False
 
@@ -282,15 +281,10 @@ class SoftmaxTrainer:
         prof = self.cfg.profiling
         trace_dir = str(prof.trace_dir) if prof and prof.trace_dir else None
 
-        def _cfg_int(value, default):
-            # Config returns a falsy empty Config for missing keys, and 0 is
-            # a legitimate setting — so test for "missing", not truthiness
-            return default if value is None or value == '' or (
-                hasattr(value, 'as_dict') and not value) else int(value)
-
-        trace_epoch = _cfg_int(prof.epoch if prof else None, 0)
-        trace_start = _cfg_int(prof.start_step if prof else None, 3)
-        trace_steps = _cfg_int(prof.num_steps if prof else None, 5)
+        from facenet_tpu.config import value_or
+        trace_epoch = int(value_or(prof.epoch if prof else None, 0))
+        trace_start = int(value_or(prof.start_step if prof else None, 3))
+        trace_steps = int(value_or(prof.num_steps if prof else None, 5))
         tracing = False
 
         timer = profiling.StepTimer(
@@ -318,8 +312,7 @@ class SoftmaxTrainer:
                 m = {k: float(v) for k, v in metrics.items()}
                 logger.info(
                     f'epoch {epoch} step {n}/{self.steps_per_epoch} ' +
-                    ' '.join(f'{k}={v:.4f}' for k, v in m.items()) +
-                    f' [{timer.items_per_sec:.1f} img/s]')
+                    ' '.join(f'{k}={v:.4f}' for k, v in m.items()))
             if n >= self.steps_per_epoch:
                 break
 

@@ -114,3 +114,67 @@ def test_nchw_fc_permutation_consistency(synthetic_dicts):
     flat_nchw = feat.transpose(2, 0, 1).reshape(-1)    # caffe-style flatten
     np.testing.assert_allclose(flat_nhwc @ w_nhwc, flat_nchw @ w_nchw,
                                rtol=1e-5)
+
+
+def test_transpose_equivalence(synthetic_dicts):
+    """transpose=True must be an exact orientation conversion: running the
+    TRANSFORMED params on an upright image equals running the ORIGINAL
+    params on the transposed image (with outputs mapped back: probs map
+    transposed, reg x/y pairs swapped, landmark x/y blocks swapped)."""
+    import jax
+    import jax.numpy as jnp
+    from facenet_tpu.detectors.mtcnn.networks import (ONet, PNet, RNet,
+                                                      normalize_crops)
+
+    det1, det2, det3 = synthetic_dicts
+    rng = np.random.RandomState(3)
+
+    # ---- P-Net on a non-square image
+    img = rng.rand(1, 26, 38, 3).astype(np.float32) * 255
+    img_t = img.transpose(0, 2, 1, 3)
+
+    pnet = PNet(dtype=jnp.float32)
+    p_orig = {'params': w.pnet_params(det1)}
+    p_tran = {'params': w.pnet_params(det1, transpose=True)}
+
+    probs_u, reg_u = pnet.apply(p_tran, normalize_crops(img))
+    probs_t, reg_t = pnet.apply(p_orig, normalize_crops(img_t))
+    np.testing.assert_allclose(np.asarray(probs_u),
+                               np.asarray(probs_t).transpose(0, 2, 1),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(reg_u),
+        np.asarray(reg_t).transpose(0, 2, 1, 3)[..., [1, 0, 3, 2]],
+        rtol=1e-4, atol=1e-5)
+
+    # ---- R-Net on square crops (transposed crop = image transpose)
+    crop = rng.rand(2, 24, 24, 3).astype(np.float32) * 255
+    crop_t = crop.transpose(0, 2, 1, 3)
+    rnet = RNet(dtype=jnp.float32)
+    r_orig = {'params': w.rnet_params(det2)}
+    r_tran = {'params': w.rnet_params(det2, transpose=True)}
+    pu, ru = rnet.apply(r_tran, normalize_crops(crop))
+    pt, rt = rnet.apply(r_orig, normalize_crops(crop_t))
+    np.testing.assert_allclose(np.asarray(pu), np.asarray(pt),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ru),
+                               np.asarray(rt)[:, [1, 0, 3, 2]],
+                               rtol=1e-4, atol=1e-5)
+
+    # ---- O-Net incl. landmarks
+    crop = rng.rand(2, 48, 48, 3).astype(np.float32) * 255
+    crop_t = crop.transpose(0, 2, 1, 3)
+    onet = ONet(dtype=jnp.float32)
+    o_orig = {'params': w.onet_params(det3)}
+    o_tran = {'params': w.onet_params(det3, transpose=True)}
+    pu, ru, lu = onet.apply(o_tran, normalize_crops(crop))
+    pt, rt, lt = onet.apply(o_orig, normalize_crops(crop_t))
+    np.testing.assert_allclose(np.asarray(pu), np.asarray(pt),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ru),
+                               np.asarray(rt)[:, [1, 0, 3, 2]],
+                               rtol=1e-4, atol=1e-5)
+    lmk_perm = list(range(5, 10)) + list(range(0, 5))
+    np.testing.assert_allclose(np.asarray(lu),
+                               np.asarray(lt)[:, lmk_perm],
+                               rtol=1e-4, atol=1e-5)
