@@ -1,14 +1,28 @@
-"""Application to print information about a dataset and find corrupt images.
+"""Dataset inspection: print index statistics and find unreadable images.
 
-Parity: reference apps/dataset.py (PIL-opens every file to catch invalid
-images, prints Database stats).
+Parity: reference apps/dataset.py — walk the directory-per-class index,
+report class/image counts, and decode-check every file so corrupt images
+surface before a training run trips over them. Decode checking prefers the
+native C++ probe (facenet_tpu/native) and falls back to PIL.
 """
 
 import click
 from pathlib import Path
-from PIL import Image
 
-from facenet_tpu import dataset
+from facenet_tpu import dataset, native
+
+
+def _check_file(path):
+    """Return None if the image decodes, else a description of the problem."""
+    if native.available():
+        return None if native.probe_image(path) else f'unreadable: {path}'
+    from PIL import Image
+    try:
+        with Image.open(path) as image:
+            image.verify()
+        return None
+    except Exception as err:
+        return f'{err}'
 
 
 @click.command()
@@ -18,16 +32,10 @@ def main(**options):
     dbase = dataset.DBase(dataset.DefaultConfig(options['path']))
     print(dbase)
 
-    nrof_invalid = 0
-    for f in dbase.files:
-        try:
-            with Image.open(f) as image:
-                image.verify()
-        except Exception as e:
-            nrof_invalid += 1
-            print(e)
-
-    print(f'number of invalid files: {nrof_invalid}')
+    problems = [p for p in map(_check_file, dbase.files) if p]
+    for problem in problems:
+        print(problem)
+    print(f'number of invalid files: {len(problems)}')
 
 
 if __name__ == '__main__':

@@ -1,6 +1,6 @@
 """Detect + align faces for a whole dataset into per-class PNG thumbnails.
 
-Parity: reference apps/extract_faces.py — but the detection runs BATCHED
+Parity: reference apps/extract_faces.py — but detection runs BATCHED
 through the jitted TPU cascade instead of one sess.run per image
 (the reference hot loop, SURVEY.md §3.2).
 """
@@ -16,6 +16,58 @@ from facenet_tpu.detectors.face_detector import FaceDetector, image_processing
 DETECT_BATCH = 32
 
 
+def _load_chunk(paths, mode):
+    """Decode a chunk of files; returns (arrays, pils, ok_paths, n_failed)."""
+    arrays, pils, ok_paths = [], [], []
+    failed = 0
+    for path in paths:
+        try:
+            pil = ioutils.read_image(path)
+            arrays.append(ioutils.pil2array(pil, mode=mode))
+        except Exception:
+            failed += 1
+            continue
+        pils.append(pil)
+        ok_paths.append(path)
+    return arrays, pils, ok_paths, failed
+
+
+def _crop_name(base, n):
+    """Output path for the n-th face of one image (suffix _n past the first)."""
+    if n == 0:
+        return base
+    return base.parent / f'{base.stem}_{n}{base.suffix}'
+
+
+def _extract_class(cls, detector, options, counters):
+    """Detect every image of one class in cascade-sized batches and write
+    the aligned crops + face-size records."""
+    class_dir = options.outdir / cls.name
+    ioutils.makedirs(class_dir)
+    single_face_only = not bool(options.detect_multiple_faces)
+
+    for start in range(0, cls.nrof_images, DETECT_BATCH):
+        chunk = cls.files[start:start + DETECT_BATCH]
+        arrays, pils, ok_paths, failed = _load_chunk(chunk, detector.mode)
+        counters['unreadable'] += failed
+        if not arrays:
+            continue
+
+        for pil, path, boxes in zip(pils, ok_paths,
+                                    detector.detect_images(arrays)):
+            if not boxes or (single_face_only and len(boxes) > 1):
+                continue
+            counters['faces'] += 1
+            base = class_dir / (Path(path).stem + '.png')
+            for n, box in enumerate(boxes):
+                crop = image_processing(pil, box, options.image)
+                out = _crop_name(base, n)
+                ioutils.write_image(crop, out)
+                h5utils.write(options.h5file,
+                              h5utils.filename2key(out, 'size'),
+                              np.uint32((box.height, box.width)))
+
+
 @click.command()
 @click.option('--config', 'config_file', default=None, type=Path,
               help='Path to yaml config file with used options of the application.')
@@ -25,7 +77,6 @@ def main(**options):
     dbase = dataset.DBase(options.dataset)
     ioutils.write_text_log(options.logfile, dbase)
     print('input dataset:', dbase)
-
     print('output directory', options.outdir)
     print('output h5 file  ', options.h5file)
 
@@ -34,70 +85,19 @@ def main(**options):
     ioutils.write_text_log(options.logfile, detector)
     print(detector)
 
-    detect_multiple = bool(options.detect_multiple_faces)
-
-    nrof_extracted_faces = 0
-    nrof_unread_files = 0
-
+    counters = {'faces': 0, 'unreadable': 0}
     for cls in dbase.classes:
-        output_class_dir = options.outdir.joinpath(cls.name)
-        ioutils.makedirs(output_class_dir)
-
-        # read a batch of images, then detect them all in one cascade call
-        for start in range(0, cls.nrof_images, DETECT_BATCH):
-            chunk = cls.files[start:start + DETECT_BATCH]
-            images, pil_images, paths = [], [], []
-            for image_path in chunk:
-                try:
-                    img = ioutils.read_image(image_path)
-                    arr = ioutils.pil2array(img, mode=detector.mode)
-                except Exception:
-                    nrof_unread_files += 1
-                    continue
-                images.append(arr)
-                pil_images.append(img)
-                paths.append(image_path)
-
-            if not images:
-                continue
-
-            all_boxes = detector.detect_images(images)
-
-            for img, image_path, boxes in zip(pil_images, paths, all_boxes):
-                nrof_faces = len(boxes)
-                if nrof_faces == 0:
-                    continue
-                if nrof_faces > 1 and not detect_multiple:
-                    continue
-
-                nrof_extracted_faces += 1
-                out_filename = output_class_dir.joinpath(
-                    Path(image_path).stem + '.png')
-
-                for n, box in enumerate(boxes):
-                    output = image_processing(img, box, options.image)
-
-                    out_filename_n = out_filename
-                    if n > 0:
-                        out_filename_n = out_filename.parent.joinpath(
-                            '{}_{}{}'.format(out_filename.stem, n,
-                                             out_filename.suffix))
-
-                    ioutils.write_image(output, out_filename_n)
-                    size = np.uint32((box.height, box.width))
-                    h5utils.write(options.h5file,
-                                  h5utils.filename2key(out_filename_n, 'size'),
-                                  size)
+        _extract_class(cls, detector, options, counters)
 
     out_dbase = dataset.DBase(dataset.DefaultConfig(options.outdir))
     ioutils.write_text_log(options.logfile, out_dbase)
-
     ioutils.write_text_log(
-        options.logfile, f'Number of files that cannot be read {nrof_unread_files}')
+        options.logfile,
+        f"Number of files that cannot be read {counters['unreadable']}")
     ioutils.write_text_log(
-        options.logfile, f'Number of extracted faces {nrof_extracted_faces}')
+        options.logfile, f"Number of extracted faces {counters['faces']}")
 
-    print('Number of extracted faces', nrof_extracted_faces)
+    print('Number of extracted faces', counters['faces'])
     print('Logs have been written to the file', options.logfile)
 
 

@@ -299,3 +299,36 @@ def test_train_softmax_resume_from_checkpoint(face_tree, tmp_path):
     result = CliRunner().invoke(main, ['--config', str(cfg_file)])
     assert result.exit_code == 0, result.output
     assert 'Restored checkpoint step 2' in result.output, result.output
+
+
+def test_extract_faces_app(tmp_path):
+    """Batched extract flow: artifacts + unreadable-file accounting
+    (random-weight cascade finds nothing in noise; the contract here is
+    the pipeline mechanics, matching ref extract_faces.py:37-85)."""
+    from facenet_tpu.apps.extract_faces import main
+
+    raw = tmp_path / 'raw'
+    rng = np.random.RandomState(0)
+    for c in range(2):
+        d = raw / f'p{c:02d}'
+        d.mkdir(parents=True)
+        for i in range(3):
+            Image.fromarray(rng.randint(0, 256, (100, 120, 3), np.uint8)
+                            ).save(d / f'{i}.jpg')
+    (raw / 'p00' / 'broken.jpg').write_bytes(b'not an image')
+
+    cfg = {
+        'dataset': {'path': str(raw)},
+        'outdir': str(tmp_path / 'out'),
+        'detector': 'mtcnn',
+        'image': {'size': 160, 'margin': 32},
+        'detect_multiple_faces': False,
+    }
+    cfg_file = tmp_path / 'extract.yaml'
+    cfg_file.write_text(yaml.safe_dump(cfg))
+
+    result = CliRunner().invoke(main, ['--config', str(cfg_file)])
+    assert result.exit_code == 0, result.output
+    assert 'Number of extracted faces' in result.output
+    log = (tmp_path / 'out' / 'log.txt').read_text()
+    assert 'Number of files that cannot be read 1' in log
