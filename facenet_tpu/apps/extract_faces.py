@@ -17,16 +17,30 @@ DETECT_BATCH = 32
 
 
 def _load_chunk(paths, mode):
-    """Decode a chunk of files; returns (arrays, pils, ok_paths, n_failed)."""
+    """Decode a chunk of files; returns (arrays, pils, ok_paths, n_failed).
+
+    The native C++ decoder (3x PIL single-thread) does the heavy lift; the
+    PIL object the crop step needs is built from the decoded array. PIL
+    handles formats the native decoder doesn't (JPEG/PNG only)."""
+    from facenet_tpu import native
+
+    use_native = native.available() and mode == 'RGB'
     arrays, pils, ok_paths = [], [], []
     failed = 0
     for path in paths:
-        try:
-            pil = ioutils.read_image(path)
-            arrays.append(ioutils.pil2array(pil, mode=mode))
-        except Exception:
-            failed += 1
-            continue
+        arr = None
+        if use_native:
+            arr = native.decode_image_native_size(path)
+            if arr is not None:
+                pil = ioutils.array2pil(arr)
+        if arr is None:
+            try:
+                pil = ioutils.read_image(path)
+                arr = ioutils.pil2array(pil, mode=mode)
+            except Exception:
+                failed += 1
+                continue
+        arrays.append(arr)
         pils.append(pil)
         ok_paths.append(path)
     return arrays, pils, ok_paths, failed

@@ -69,6 +69,11 @@ def _load():
         lib.fn_probe_image.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int)]
+        lib.fn_decode_image_alloc.restype = ctypes.POINTER(ctypes.c_uint8)
+        lib.fn_decode_image_alloc.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int)]
+        lib.fn_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
         lib.fn_loader_create.restype = ctypes.c_void_p
         lib.fn_loader_create.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
@@ -104,6 +109,29 @@ def decode_image(path, size, mode=MODE_CROP_OR_PAD):
         os.fsencode(path), h, w, int(mode),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return out if ok else None
+
+
+def decode_image_native_size(path):
+    """Decode one image at its original size -> uint8 [H, W, 3], or None.
+
+    One decode pass (probe_image + decode_image would decode twice); used
+    by hosts that need the full-resolution pixels, e.g. detector input.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f'native library unavailable: {_build_error}')
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    ptr = lib.fn_decode_image_alloc(os.fsencode(path), ctypes.byref(h),
+                                    ctypes.byref(w))
+    if not ptr:
+        return None
+    try:
+        n = h.value * w.value * 3
+        out = np.ctypeslib.as_array(ptr, shape=(n,)).copy()
+        return out.reshape(h.value, w.value, 3)
+    finally:
+        lib.fn_free(ptr)
 
 
 def probe_image(path):

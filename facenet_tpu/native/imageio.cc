@@ -297,3 +297,25 @@ int fn_probe_image(const char* path, int* h, int* w) {
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Decode one file at its native size; returns a malloc'd HWC RGB buffer
+// (caller frees with fn_free) and fills (h, w). NULL on failure.
+uint8_t* fn_decode_image_alloc(const char* path, int* h, int* w) {
+  std::vector<uint8_t> raw;
+  if (!facenet_native::read_file(path, &raw)) return nullptr;
+  facenet_native::Image img;
+  if (!facenet_native::decode_any(raw.data(), raw.size(), &img)) return nullptr;
+  if (img.height <= 0 || img.width <= 0) return nullptr;
+  uint8_t* out = static_cast<uint8_t*>(std::malloc(img.data.size()));
+  if (!out) return nullptr;
+  std::memcpy(out, img.data.data(), img.data.size());
+  *h = img.height;
+  *w = img.width;
+  return out;
+}
+
+void fn_free(uint8_t* ptr) { std::free(ptr); }
+
+}  // extern "C"

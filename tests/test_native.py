@@ -118,3 +118,12 @@ def test_batch_loader_deep_prefetch(image_dir):
     got = list(ldr.iterate(batches))
     ldr.close()
     assert len(got) == 10
+
+
+def test_decode_native_size(image_dir):
+    paths, bad = image_dir
+    png = [p for p in paths if p.endswith('png')][0]
+    ref = np.asarray(Image.open(png))
+    got = native.decode_image_native_size(png)
+    np.testing.assert_array_equal(got, ref)
+    assert native.decode_image_native_size(bad) is None
