@@ -270,6 +270,22 @@ def train_softmax(options, app_file_name=None):
     return cfg
 
 
+def train_detector(options, app_file_name=None):
+    app_file_name = app_file_name or sys.argv[0]
+    cfg = load_config(app_file_name, options)
+
+    path = Path(str(cfg.model.path)).expanduser()
+    cfg.model.path = path / subdir()
+
+    cfg.logs = Config()
+    cfg.logs.dir = cfg.model.path / 'logs'
+    cfg.logs.file = cfg.model.path.stem + '.log'
+
+    cfg.seed_key = set_seed(cfg.seed)
+    _write_provenance(cfg, cfg.logs.dir, app_file_name)
+    return cfg
+
+
 def embeddings(app_file_name, options):
     cfg = load_config(app_file_name, options)
 
