@@ -41,9 +41,8 @@ _cache_enabled = False
 
 
 def _enable_compilation_cache():
-    """Persist compiled kernels across processes (the unrolled threshold
-    loop makes first compiles minutes-long; the cache makes that a
-    once-per-machine cost). Honors an existing JAX cache configuration."""
+    """Persist compiled kernels across processes where the backend supports
+    it. Honors an existing JAX cache configuration."""
     global _cache_enabled
     if _cache_enabled:
         return
@@ -60,6 +59,15 @@ def _enable_compilation_cache():
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)
     except Exception:
         pass
+
+
+# threshold loop structure: INNER thresholds per outer iteration. The outer
+# fori_loop stays a REAL loop (its only dynamic access is an 8-sublane-
+# aligned ref slice), so Mosaic compile time scales with INNER, not with
+# the threshold count — INNER=4 compiles in seconds where a fully unrolled
+# 99-iteration loop took minutes.
+INNER = 4
+GROUP_ROWS = 8          # sublane alignment for dynamic ref slices
 
 
 def _kernel(thr_ref, emb_row_ref, emb_col_ref, meta_row_ref, meta_col_ref,
@@ -112,28 +120,29 @@ def _kernel(thr_ref, emb_row_ref, emb_col_ref, meta_row_ref, meta_col_ref,
         wp = jnp.where(valid & pos, wpos_r * jnp.ones((1, TILE)), 0.0)
         wn = jnp.where(valid & ~pos, invn_r * invn_c, 0.0)
 
-        # Per-threshold masked reductions. Mosaic fully unrolls this loop
-        # (the scalar SMEM read per iteration forces it), which makes the
-        # one-time compile slow (~minutes for 99 thresholds); the persistent
-        # compilation cache + quantized N padding in the wrapper keep that a
-        # once-per-machine cost. Vectorized 3D-broadcast alternatives either
-        # exhaust VMEM (unrolled chunks stay live) or compile even slower.
-        lane = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
-        row = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+        # Per-threshold masked reductions. Thresholds arrive pre-broadcast
+        # as a [ceil(T/INNER) * GROUP_ROWS, LANES] array whose row
+        # (g * GROUP_ROWS + kk) is threshold (g * INNER + kk) replicated
+        # across lanes, so each outer iteration ref-slices one aligned
+        # 8-row group and unrolls only INNER comparisons.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (2, LANES), 1)
 
-        def body(k, acc):
-            t = thr_ref[0, k]
-            below = d < t
-            cp = jnp.sum(jnp.where(below, wp, 0.0))
-            cn = jnp.sum(jnp.where(below, wn, 0.0))
-            sel = lane == k
-            return (acc +
-                    jnp.where(sel & (row == 0), cp, 0.0) +
-                    jnp.where(sel & (row == 1), cn, 0.0))
+        def body(g, acc):
+            t_group = thr_ref[pl.ds(g * GROUP_ROWS, GROUP_ROWS), :]
+            for kk in range(INNER):
+                t_row = t_group[kk:kk + 1, :]      # [1, LANES], all-equal
+                below = d < t_row
+                cp = jnp.sum(jnp.where(below, wp, 0.0))
+                cn = jnp.sum(jnp.where(below, wn, 0.0))
+                sel = (lane == g * INNER + kk).astype(jnp.float32)
+                acc = acc + sel * jnp.stack(
+                    [jnp.full((LANES,), cp), jnp.full((LANES,), cn)])
+            return acc
 
-        acc = jax.lax.fori_loop(0, n_thr, body,
-                                jnp.zeros((8, LANES), jnp.float32))
-        out_ref[:] += acc
+        n_groups = -(-n_thr // INNER)
+        acc = jax.lax.fori_loop(0, n_groups, body,
+                                jnp.zeros((2, LANES), jnp.float32))
+        out_ref[0:2, :] += acc
 
 
 @partial(jax.jit, static_argnames=('metric', 'n_thr', 'interpret'))
@@ -147,8 +156,8 @@ def _pair_below_counts_padded(emb, meta, thr, metric, n_thr, interpret):
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, LANES), lambda i, j: (0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((thr.shape[0], LANES), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, emb.shape[1]), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, emb.shape[1]), lambda i, j: (j, 0),
@@ -207,11 +216,10 @@ def pair_below_counts(embeddings, labels, thresholds, metric=0,
     inv_pos = np.divide(1.0, pos_pairs, out=np.zeros_like(pos_pairs),
                         where=pos_pairs > 0)
 
-    # Mosaic fully unrolls the threshold loop, so each distinct padded shape
-    # costs a slow one-time compile; on TPU, quantizing N to coarse steps
-    # bounds the number of distinct shapes (10-fold validation produces two
-    # subset sizes per dataset). Padded rows are masked out, so the only
-    # cost is <= quantum/N extra tiles.
+    # Quantizing N to coarse steps bounds the number of distinct compiled
+    # shapes (10-fold validation produces two subset sizes per dataset).
+    # Padded rows are masked out, so the only cost is <= quantum/N extra
+    # tiles.
     quantum = TILE if interpret else 2048
     n_pad = max(-(-n // quantum) * quantum, TILE)
     d_pad = max(-(-dim // LANES) * LANES, LANES)
@@ -226,9 +234,16 @@ def pair_below_counts(embeddings, labels, thresholds, metric=0,
     meta[2, :n] = inv_n[labels]
     meta[3, :n] = 1.0
 
-    t = np.full((1, LANES), BIG, np.float32)
-    t[0, :thresholds.size] = thresholds
-    t[0, thresholds.size] = BIG     # totals bin
+    # thresholds + one +inf totals bin, laid out in GROUP_ROWS-row groups of
+    # INNER (see _kernel): row g*GROUP_ROWS + kk = threshold g*INNER + kk,
+    # replicated across lanes
+    n_thr_total = thresholds.size + 1
+    n_groups = -(-n_thr_total // INNER)
+    t = np.full((n_groups * GROUP_ROWS, LANES), BIG, np.float32)
+    flat = np.full((n_groups * INNER,), BIG, np.float32)
+    flat[:thresholds.size] = thresholds
+    for k in range(n_groups * INNER):
+        t[(k // INNER) * GROUP_ROWS + (k % INNER), :] = flat[k]
 
     out = np.asarray(_pair_below_counts_padded(
         jnp.asarray(emb), jnp.asarray(meta), jnp.asarray(t),

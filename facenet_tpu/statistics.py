@@ -211,13 +211,11 @@ def _use_pallas(nrof_thresholds, nrof_embeddings=0):
     """Route to the fused Pallas kernel on TPU (env FACENET_TPU_PALLAS=0/1
     forces either path; the kernel holds at most 127 thresholds).
 
-    Auto mode requires a large problem: the kernel's unrolled threshold
-    loop costs a minutes-long one-time Mosaic compile, which only pays off
-    where the XLA path is tens of seconds per call (N in the tens of
-    thousands) and the call repeats — e.g. per-fold statistics inside the
-    training loop's periodic validation. Measured at the reference eval
-    scale (26,489 x 512, 98 thresholds, v5e): Pallas 1.4 s/call steady vs
-    XLA 51 s/call — 35x — vs reference CPU 694-1540 s (SURVEY.md §6)."""
+    Auto mode requires a large problem: below ~8k embeddings the XLA path
+    is already subsecond and not worth a per-shape kernel compile. Measured
+    at the reference eval scale (26,489 x 512, 98 thresholds, v5e): Pallas
+    1.3 s/call steady vs XLA 51 s/call — 40x — vs reference CPU 694-1540 s
+    (SURVEY.md §6)."""
     import os
     if nrof_thresholds > 127:
         return False
