@@ -90,11 +90,11 @@ def _kernel(thr_ref, emb_row_ref, emb_col_ref, meta_row_ref, meta_col_ref,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)   # [TILE, TILE]
         sims = jnp.clip(sims, -1.0, 1.0)
-
-        if metric == 0:
-            d = 2.0 * (1.0 - sims)                 # squared Euclidean
-        else:
-            d = jnp.arccos(sims)                   # angular
+        # Distances never materialize: both metrics are monotone DECREASING
+        # in cosine similarity (d0 = 2(1-s), d1 = arccos(s)), so
+        # d < t  <=>  s > t' with host-side t' = 1 - t/2 or cos(t). This
+        # keeps transcendentals out of the kernel entirely (Mosaic has no
+        # acos lowering) and saves a per-tile transform.
 
         # metadata rows: 0 label, 1 w_pos (1/pos_pairs(c)), 2 inv_n (1/n_c),
         # 3 valid flag
@@ -131,7 +131,7 @@ def _kernel(thr_ref, emb_row_ref, emb_col_ref, meta_row_ref, meta_col_ref,
             t_group = thr_ref[pl.ds(g * GROUP_ROWS, GROUP_ROWS), :]
             for kk in range(INNER):
                 t_row = t_group[kk:kk + 1, :]      # [1, LANES], all-equal
-                below = d < t_row
+                below = sims > t_row               # == (distance < t)
                 cp = jnp.sum(jnp.where(below, wp, 0.0))
                 cn = jnp.sum(jnp.where(below, wn, 0.0))
                 sel = (lane == g * INNER + kk).astype(jnp.float32)
@@ -234,14 +234,20 @@ def pair_below_counts(embeddings, labels, thresholds, metric=0,
     meta[2, :n] = inv_n[labels]
     meta[3, :n] = 1.0
 
-    # thresholds + one +inf totals bin, laid out in GROUP_ROWS-row groups of
-    # INNER (see _kernel): row g*GROUP_ROWS + kk = threshold g*INNER + kk,
-    # replicated across lanes
+    # thresholds + one totals bin, inverse-transformed to the similarity
+    # domain (the kernel compares sims > t'; see _kernel) and laid out in
+    # GROUP_ROWS-row groups of INNER: row g*GROUP_ROWS + kk = threshold
+    # g*INNER + kk, replicated across lanes. Sentinel -BIG => all pairs
+    # count (the totals bin and unused padding).
+    if metric == 0:
+        sims_thr = 1.0 - thresholds / 2.0          # d0 = 2(1-s) < t
+    else:
+        sims_thr = np.cos(thresholds)              # d1 = arccos(s) < t
     n_thr_total = thresholds.size + 1
     n_groups = -(-n_thr_total // INNER)
-    t = np.full((n_groups * GROUP_ROWS, LANES), BIG, np.float32)
-    flat = np.full((n_groups * INNER,), BIG, np.float32)
-    flat[:thresholds.size] = thresholds
+    t = np.full((n_groups * GROUP_ROWS, LANES), -BIG, np.float32)
+    flat = np.full((n_groups * INNER,), -BIG, np.float32)
+    flat[:thresholds.size] = sims_thr.astype(np.float32)
     for k in range(n_groups * INNER):
         t[(k // INNER) * GROUP_ROWS + (k % INNER), :] = flat[k]
 

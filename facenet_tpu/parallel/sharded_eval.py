@@ -51,8 +51,7 @@ def _row_stripe_histograms(emb_rows, emb_all, labels_rows, labels_all,
 
     col_idx = jnp.arange(n_all)
 
-    def body(c, carry):
-        hist_pos, hist_neg = carry
+    def body(c):
         rows = jax.lax.dynamic_slice(
             emb_p, (c * chunk, 0), (chunk, emb_rows.shape[1]))
         row_labels = jax.lax.dynamic_slice(labels_p, (c * chunk,), (chunk,))
@@ -77,15 +76,17 @@ def _row_stripe_histograms(emb_rows, emb_all, labels_rows, labels_all,
         wp = jnp.where(valid & pos, w_pos, 0.0).reshape(-1)
         wn = jnp.where(valid & ~pos, w_neg, 0.0).reshape(-1)
 
-        hist_pos = hist_pos + jax.ops.segment_sum(
-            wp, ids, num_segments=num_bins + 1)
-        hist_neg = hist_neg + jax.ops.segment_sum(
-            wn, ids, num_segments=num_bins + 1)
-        return hist_pos, hist_neg
+        hist_pos = jax.ops.segment_sum(wp, ids, num_segments=num_bins + 1)
+        hist_neg = jax.ops.segment_sum(wn, ids, num_segments=num_bins + 1)
+        return jnp.stack([hist_pos, hist_neg])
 
-    init = (jnp.zeros((num_bins + 1,), jnp.float32),
-            jnp.zeros((num_bins + 1,), jnp.float32))
-    return jax.lax.fori_loop(0, nchunks, body, init)
+    # per-chunk partials summed once (not a running f32 accumulator): the
+    # running sum loses tiny late increments at scale — see the same fix in
+    # statistics._pair_histograms; each device only holds 1/n_dev of the
+    # total so the remaining f32 error is small before the psum
+    stacked = jax.lax.map(body, jnp.arange(nchunks))
+    out = jnp.sum(stacked, axis=0)
+    return out[0], out[1]
 
 
 def sharded_pair_histograms(embeddings, labels, thresholds, num_classes,
