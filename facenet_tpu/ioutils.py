@@ -84,7 +84,7 @@ def _git(cmd):
     try:
         gitproc = Popen(cmd, stdout=PIPE, cwd=str(src_path))
         (stdout, _) = gitproc.communicate()
-        return stdout.strip()
+        return stdout.decode('utf-8', errors='replace').strip()
     except OSError as e:  # pragma: no cover
         return ' '.join(cmd) + ': ' + e.strerror
 
