@@ -162,7 +162,13 @@ def make_train_step(model, tx, loss_cfg, augment_cfg=None, image_size=160,
 class SoftmaxTrainer:
     """End-to-end trainer: mesh, state, jitted step, epoch loop, checkpoints."""
 
-    def __init__(self, cfg, nrof_classes, model_cfg=None):
+    def __init__(self, cfg, nrof_classes, model_cfg=None, mesh=None,
+                 devices=None):
+        """:param mesh: explicit jax.sharding.Mesh (overrides cfg.mesh)
+        :param devices: explicit device list for mesh construction — lets a
+            caller (tests, the driver's multi-chip dryrun) build the mesh over
+            virtual CPU devices instead of whatever jax.devices() returns.
+        """
         self.cfg = cfg
         self.nrof_classes = int(nrof_classes)
 
@@ -181,8 +187,9 @@ class SoftmaxTrainer:
         self.model = SoftmaxClassifier(backbone=backbone,
                                        nrof_classes=self.nrof_classes)
 
-        self.mesh = mesh_mod.create_mesh(
-            data=cfg.mesh.data or None, model=cfg.mesh.model or 1)
+        self.mesh = mesh if mesh is not None else mesh_mod.create_mesh(
+            data=cfg.mesh.data or None, model=cfg.mesh.model or 1,
+            devices=devices)
 
         steps_per_epoch = int(cfg.train.epoch.size or 1000)
         self.steps_per_epoch = steps_per_epoch

@@ -288,3 +288,23 @@ def test_random_crop_trains_on_larger_images():
     labels = rng_np.randint(0, NROF_CLASSES, 4).astype(np.int32)
     state, metrics = trainer.step_fn(state, imgs, labels)
     assert np.isfinite(float(metrics['loss']))
+
+
+def test_dryrun_multichip_subprocess():
+    """The driver's multi-chip check, run exactly as the driver runs it:
+    a fresh process with NO XLA_FLAGS / platform hints — dryrun_multichip
+    itself must force the 8 virtual CPU devices before backend init
+    (regression for the round-1 MULTICHIP failure)."""
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ('XLA_FLAGS', 'JAX_PLATFORMS')}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, '-c',
+         'from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)'],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert 'loss=' in out.stdout, out.stdout
