@@ -212,9 +212,11 @@ class ImageLoader:
         if native.available():
             img = native.decode_image(path, (self.height, self.width),
                                       mode=self.native_mode)
-            if img is None:
-                raise OSError(f'unreadable image: {path}')
-            return img
+            if img is not None:
+                return img
+            # Native decoder handles JPEG/PNG only; fall back to PIL for
+            # the formats it doesn't (GIF/BMP/TIFF/WebP, CMYK JPEG) and
+            # raise only when PIL can't read the file either.
         with Image.open(path) as img:
             arr = np.asarray(img.convert('RGB'), dtype=np.uint8)
         return crop_or_pad(arr, self.height, self.width)
@@ -302,19 +304,23 @@ class BatchLoader:
             self.files, (self.loader.height, self.loader.width), mode=mode,
             num_threads=self.num_workers, prefetch=max(self.prefetch, 1))
         try:
-            labels_per_batch = []
+            pending_meta = []
 
             def stream():
                 for idx in self._index_stream():
-                    labels_per_batch.append(self.labels[idx])
+                    pending_meta.append((idx, self.labels[idx]))
                     yield idx
 
             for images, ok in ldr.iterate(stream()):
-                labels = labels_per_batch.pop(0)
+                idx, labels = pending_meta.pop(0)
                 if not ok.all():
-                    bad = int((~ok.astype(bool)).sum())
-                    logger.warning(f'{bad} unreadable image(s) in batch '
-                                   '(left as zeros)')
+                    # Native decode handles JPEG/PNG; retry failed rows
+                    # through the loader's PIL fallback so both pipelines
+                    # behave identically: alternate formats still load,
+                    # and a genuinely unreadable file raises (fail-loud,
+                    # never train on silent zero images).
+                    for row in np.flatnonzero(ok == 0):
+                        images[row] = self.loader(self.files[idx[row]])
                 yield images, labels
         finally:
             ldr.close()

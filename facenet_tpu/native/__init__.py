@@ -38,15 +38,45 @@ MODE_RESIZE = 1
 
 
 def _build():
-    """Compile the shared library if it is missing or stale."""
+    """Compile the shared library if it is missing or stale.
+
+    Concurrency-safe: an exclusive flock serializes builders across
+    processes (pytest-xdist, multi-process training, shared checkouts) and
+    the .so is compiled to a temp name then os.rename()d into place, so a
+    concurrent CDLL can never map a partially written file.
+    """
     srcs = [os.path.join(_DIR, f) for f in ('imageio.cc', 'loader.cc')]
-    if os.path.exists(_LIB_PATH):
+
+    def fresh():
+        if not os.path.exists(_LIB_PATH):
+            return False
         lib_mtime = os.path.getmtime(_LIB_PATH)
-        if all(os.path.getmtime(s) <= lib_mtime for s in srcs):
-            return
-    cmd = ['g++', '-O3', '-march=native', '-fPIC', '-std=c++17', '-shared',
-           '-o', _LIB_PATH] + srcs + ['-ljpeg', '-lpng', '-lz', '-lpthread']
-    subprocess.run(cmd, check=True, capture_output=True, cwd=_DIR)
+        return all(os.path.getmtime(s) <= lib_mtime for s in srcs)
+
+    if fresh():
+        return
+
+    import fcntl
+    import tempfile
+
+    with open(_LIB_PATH + '.lock', 'w') as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            if fresh():  # another process built it while we waited
+                return
+            fd, tmp = tempfile.mkstemp(dir=_DIR, suffix='.so.tmp')
+            os.close(fd)
+            try:
+                cmd = (['g++', '-O3', '-march=native', '-fPIC', '-std=c++17',
+                        '-shared', '-o', tmp] + srcs +
+                       ['-ljpeg', '-lpng', '-lz', '-lpthread'])
+                subprocess.run(cmd, check=True, capture_output=True, cwd=_DIR)
+                os.rename(tmp, _LIB_PATH)  # atomic within the same dir
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
 
 
 def _load():
@@ -79,6 +109,7 @@ def _load():
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
         lib.fn_loader_destroy.argtypes = [ctypes.c_void_p]
+        lib.fn_loader_submit.restype = ctypes.c_int
         lib.fn_loader_submit.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int), ctypes.c_int]
         lib.fn_loader_wait.restype = ctypes.c_int
@@ -180,9 +211,11 @@ class NativeBatchLoader:
     def submit(self, indices):
         """Enqueue one batch of dataset indices for background decode."""
         idx = np.ascontiguousarray(indices, dtype=np.int32)
-        self._lib.fn_loader_submit(
+        accepted = self._lib.fn_loader_submit(
             self._handle, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
             len(idx))
+        if not accepted:
+            raise RuntimeError('submit() on a stopped loader')
         self._in_flight += 1
         return len(idx)
 

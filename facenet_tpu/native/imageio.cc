@@ -33,6 +33,23 @@ struct Image {
   int width = 0;
 };
 
+// A corrupt/malicious header can declare up to 65535x65535 (~12.8 GB RGB).
+// Cap pixel count so such files fail the decode contract (return 0 =
+// unreadable) instead of throwing std::bad_alloc out of a worker thread.
+constexpr uint64_t kMaxPixels = 100ull * 1000 * 1000;  // 100 MPix = 300 MB
+
+static bool alloc_image(Image* out, uint64_t h, uint64_t w) {
+  if (h == 0 || w == 0 || h * w > kMaxPixels) return false;
+  try {
+    out->data.resize(static_cast<size_t>(h) * w * 3);
+  } catch (const std::bad_alloc&) {
+    return false;
+  }
+  out->height = static_cast<int>(h);
+  out->width = static_cast<int>(w);
+  return true;
+}
+
 // ---------------------------------------------------------------------------
 // JPEG decode (libjpeg with longjmp error trap so corrupt files return
 // failure instead of aborting the process — the reference counts unreadable
@@ -68,10 +85,11 @@ static bool decode_jpeg(const uint8_t* buf, size_t len, Image* out) {
   cinfo.out_color_space = JCS_RGB;
   jpeg_start_decompress(&cinfo);
 
-  out->width = static_cast<int>(cinfo.output_width);
-  out->height = static_cast<int>(cinfo.output_height);
+  if (!alloc_image(out, cinfo.output_height, cinfo.output_width)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
   const int row_stride = out->width * 3;
-  out->data.resize(static_cast<size_t>(out->height) * row_stride);
 
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* row = out->data.data() +
@@ -144,10 +162,11 @@ static bool decode_png(const uint8_t* buf, size_t len, Image* out) {
     png_set_strip_alpha(png);
   png_read_update_info(png, info);
 
-  out->width = static_cast<int>(w);
-  out->height = static_cast<int>(h);
+  if (!alloc_image(out, h, w)) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;
+  }
   const size_t row_stride = static_cast<size_t>(out->width) * 3;
-  out->data.resize(static_cast<size_t>(out->height) * row_stride);
 
   std::vector<png_bytep> rows(h);
   for (png_uint_32 y = 0; y < h; ++y)

@@ -66,22 +66,28 @@ class Loader {
   }
 
   // Enqueue a batch of dataset indices. Blocks if queue_depth batches are
-  // already in flight (backpressure keeps memory bounded).
-  void Submit(const int* indices, int n) {
+  // already in flight (backpressure keeps memory bounded). Returns 1 on
+  // success, 0 if the loader is stopping (so the caller's in-flight
+  // accounting stays correct). An empty batch (n == 0) is born complete —
+  // no worker ever touches it, so Wait() must not depend on one.
+  int Submit(const int* indices, int n) {
     auto batch = std::make_shared<Batch>();
     batch->indices.assign(indices, indices + n);
     batch->n = n;
     batch->buffer.resize(static_cast<size_t>(n) * height_ * width_ * 3);
     batch->ok.assign(n, 0);
+    batch->complete = (n == 0);
     {
       std::unique_lock<std::mutex> lk(mu_);
       cv_space_.wait(lk, [this] {
         return stop_ || static_cast<int>(queue_.size()) < queue_depth_;
       });
-      if (stop_) return;
+      if (stop_) return 0;
       queue_.push_back(std::move(batch));
     }
     cv_work_.notify_all();
+    cv_done_.notify_all();
+    return 1;
   }
 
   // Block until the oldest batch is complete; copy it out. Returns the
@@ -181,8 +187,8 @@ void fn_loader_destroy(void* loader) {
   delete static_cast<facenet_native::Loader*>(loader);
 }
 
-void fn_loader_submit(void* loader, const int* indices, int n) {
-  static_cast<facenet_native::Loader*>(loader)->Submit(indices, n);
+int fn_loader_submit(void* loader, const int* indices, int n) {
+  return static_cast<facenet_native::Loader*>(loader)->Submit(indices, n);
 }
 
 int fn_loader_wait(void* loader, uint8_t* out_buffer, int32_t* out_ok) {

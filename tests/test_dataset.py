@@ -132,3 +132,58 @@ def test_h5_validity_filter(image_tree, tmp_path):
 
     db2 = dataset.Database(dataset.DefaultConfig(image_tree, h5file=h5file))
     assert db2.nrof_images == 11
+
+
+def test_image_loader_pil_fallback_bmp(tmp_path):
+    """Formats the native decoder doesn't handle (BMP) must load via the
+    PIL fallback rather than raising (advisor finding)."""
+    from facenet_tpu.config import Config
+    from facenet_tpu.dataset import ImageLoader
+
+    arr = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    p = tmp_path / 'img.bmp'
+    Image.fromarray(arr).save(p)
+    loader = ImageLoader(Config({'size': 16}))
+    out = loader(str(p))
+    assert out.shape == (16, 16, 3)
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_batch_loader_native_fail_loud_on_unreadable(tmp_path):
+    """The native batch path must raise for a genuinely unreadable file
+    (matching the PIL path) instead of yielding silent zero images."""
+    from facenet_tpu.config import Config
+    from facenet_tpu.dataset import BatchLoader, ImageLoader
+
+    good = tmp_path / 'a' / 'good.png'
+    good.parent.mkdir()
+    Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(good)
+    bad = tmp_path / 'a' / 'bad.png'
+    bad.write_bytes(b'not an image at all')
+
+    loader = ImageLoader(Config({'size': 16}))
+    bl = BatchLoader([str(good), str(bad)], [0, 0], loader, batch_size=2)
+    with pytest.raises(Exception):
+        list(iter(bl))
+
+
+def test_batch_loader_native_recovers_bmp(tmp_path):
+    """A BMP in the file list fails native decode but must be recovered
+    through the per-row PIL fallback with its correct pixels."""
+    from facenet_tpu.config import Config
+    from facenet_tpu.dataset import BatchLoader, ImageLoader
+
+    a = np.full((16, 16, 3), 7, np.uint8)
+    b = np.full((16, 16, 3), 9, np.uint8)
+    pa = tmp_path / 'x.png'
+    pb = tmp_path / 'y.bmp'
+    Image.fromarray(a).save(pa)
+    Image.fromarray(b).save(pb)
+
+    loader = ImageLoader(Config({'size': 16}))
+    bl = BatchLoader([str(pa), str(pb)], [0, 1], loader, batch_size=2)
+    batches = list(iter(bl))
+    assert len(batches) == 1
+    images, labels = batches[0]
+    np.testing.assert_array_equal(images[0], a)
+    np.testing.assert_array_equal(images[1], b)

@@ -127,3 +127,41 @@ def test_decode_native_size(image_dir):
     got = native.decode_image_native_size(png)
     np.testing.assert_array_equal(got, ref)
     assert native.decode_image_native_size(bad) is None
+
+
+def test_empty_batch_submit_completes():
+    """An n==0 batch must complete immediately instead of deadlocking wait()
+    (advisor finding: done_images+1 == n unreachable for n == 0)."""
+    from facenet_tpu import native
+    if not native.available():
+        pytest.skip('native library unavailable')
+    ldr = native.NativeBatchLoader(['/nonexistent.jpg'], 8)
+    try:
+        ldr.submit([])
+        images, ok = ldr.wait(0)
+        assert images.shape == (0, 8, 8, 3)
+        assert ok.shape == (0,)
+    finally:
+        ldr.close()
+
+
+def test_huge_header_rejected(tmp_path):
+    """A PNG header declaring 60000x60000 (~10.8 GB) must fail the decode
+    contract (None) instead of throwing bad_alloc in a worker thread."""
+    import struct
+    import zlib
+    from facenet_tpu import native
+    if not native.available():
+        pytest.skip('native library unavailable')
+
+    def chunk(tag, payload):
+        return (struct.pack('>I', len(payload)) + tag + payload +
+                struct.pack('>I', zlib.crc32(tag + payload)))
+
+    ihdr = struct.pack('>IIBBBBB', 60000, 60000, 8, 2, 0, 0, 0)
+    data = (b'\x89PNG\r\n\x1a\n' + chunk(b'IHDR', ihdr) +
+            chunk(b'IDAT', zlib.compress(b'\x00')) + chunk(b'IEND', b''))
+    p = tmp_path / 'huge.png'
+    p.write_bytes(data)
+    assert native.decode_image(str(p), 16) is None
+    assert native.probe_image(str(p)) is None
