@@ -13,7 +13,7 @@ from facenet_tpu import config, dataset, facenet, h5utils, ioutils
 
 @click.command()
 @click.option('--config', 'config_file', default=None, type=Path,
-              help='Path to yaml config file with used options for the application.')
+              help='User yaml config merged on top of the app defaults.')
 def main(**options):
     options = config.embeddings(__file__, {'config': options['config_file']})
 

@@ -84,7 +84,7 @@ def _extract_class(cls, detector, options, counters):
 
 @click.command()
 @click.option('--config', 'config_file', default=None, type=Path,
-              help='Path to yaml config file with used options of the application.')
+              help='User yaml config merged on top of the app defaults.')
 def main(**options):
     options = config.extract_faces(__file__, {'config': options['config_file']})
 

@@ -17,7 +17,7 @@ from facenet_tpu.train.classifier import ClassifierTrainer, ConfusionMatrix
 
 @click.command()
 @click.option('--config', 'config_file', default=None, type=Path,
-              help='Path to yaml config file with used options for the application.')
+              help='User yaml config merged on top of the app defaults.')
 def main(**options):
     options = config.train_classifier(__file__, {'config': options['config_file']})
 

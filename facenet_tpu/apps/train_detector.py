@@ -146,7 +146,7 @@ def train_frcnn(records, cfg, rng):
 
 @click.command()
 @click.option('--config', 'config_file', default=None, type=Path,
-              help='Path to yaml config file with used options of the application.')
+              help='User yaml config merged on top of the app defaults.')
 def main(**options):
     cfg = config.train_detector({'config': options['config_file']},
                                 app_file_name=__file__)

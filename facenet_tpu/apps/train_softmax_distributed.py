@@ -21,7 +21,7 @@ from facenet_tpu import config
 
 @click.command()
 @click.option('--config', 'config_file', default=None, type=Path,
-              help='Path to yaml config file with used options of the application.')
+              help='User yaml config merged on top of the app defaults.')
 def main(**options):
     # Read the raw config cascade FIRST (no side effects): the full
     # preparer seeds jax RNGs, which initializes the local backend —

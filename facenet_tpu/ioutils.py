@@ -1,216 +1,241 @@
-"""Host-side IO utilities.
+"""Host-side IO: images, run-dir artifacts, and provenance.
 
-Same capability surface as the reference ioutils
-(/root/reference/facenet/ioutils.py): PIL image read/write, PIL<->numpy
-conversion, directory creation, append-only text logs, elapsed-time capture,
-and git provenance recording for every run directory.
+Covers the reference's ioutils capability surface
+(/root/reference/facenet/ioutils.py — image read/write, PIL<->numpy,
+append-only text logs, elapsed-time records, git/environment provenance)
+with an independent implementation organized around two ideas:
+
+  * every run directory gets the same artifact set (arguments yaml,
+    revision_info.txt, appendable text logs, elapsed-time lines), and
+  * all writers share one path normalizer so "a file or a directory"
+    arguments behave identically everywhere.
 """
 
 from __future__ import annotations
 
-import datetime
-import platform
+import subprocess
 import sys
 import time
-from functools import partial
+from datetime import datetime
 from pathlib import Path
-from subprocess import PIPE, Popen
 
 import numpy as np
 from PIL import Image
 
-from facenet_tpu import h5utils
+SEPARATOR = '-' * 64
 
-makedirs = partial(Path.mkdir, parents=True, exist_ok=True)
-
-
-def end(start, stop):
-    return '\n' if (start + 1) == stop else ''
+_CHANNELS = 'RGB'
 
 
-def get_time():
-    return time.monotonic()
+# ---------------------------------------------------------------------------
+# paths
+# ---------------------------------------------------------------------------
+
+def _as_path(p, prefix=None):
+    p = Path(str(p)).expanduser()
+    if prefix is not None:
+        p = Path(str(prefix)).expanduser() / p
+    return p
 
 
-def write_elapsed_time(files, start_time):
-    """Append elapsed minutes to text log(s) or h5 file(s)."""
-    if not isinstance(files, list):
-        files = [files]
-
-    for file in files:
-        file = Path(str(file)).expanduser()
-        elapsed_time = (time.monotonic() - start_time) / 60
-
-        if file.suffix == '.h5':
-            h5utils.write(file, 'elapsed_time', elapsed_time)
-        else:
-            file.parent.mkdir(parents=True, exist_ok=True)
-            with file.open('at') as f:
-                f.write('elapsed time: {:.3f}\n'.format(elapsed_time))
+def _writable(p):
+    """Normalize a target path and make sure its parent directory exists."""
+    p = _as_path(p)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    return p
 
 
-def store_revision_info(output_filename, mode='a'):
-    """Write provenance (python/jax versions, argv, git hash+diff) to a run dir."""
-    output_filename = Path(str(output_filename)).expanduser()
+def makedirs(p):
+    Path(str(p)).expanduser().mkdir(parents=True, exist_ok=True)
 
-    if output_filename.suffix != '.txt':
-        output_filename.mkdir(parents=True, exist_ok=True)
-        output_filename = output_filename / 'revision_info.txt'
-    else:
-        output_filename.parent.mkdir(parents=True, exist_ok=True)
 
-    arg_string = ' '.join(sys.argv)
+def glob_single_file(directory, pattern):
+    """The unique file matching `pattern` under `directory`, or ValueError."""
+    matches = sorted(Path(str(directory)).expanduser().glob(pattern))
+    if len(matches) != 1:
+        raise ValueError(
+            f'expected exactly one match for {pattern!r} in {directory}, '
+            f'found {len(matches)}')
+    return matches[0]
 
+
+# ---------------------------------------------------------------------------
+# images
+# ---------------------------------------------------------------------------
+
+def read_image(file, prefix=None):
+    """Open an image file as a PIL image (IOError if unreadable)."""
+    path = _as_path(file, prefix)
     try:
-        import jax
-        jax_version = jax.__version__
-    except ImportError:  # pragma: no cover
-        jax_version = 'not installed'
-
-    with open(str(output_filename), mode) as f:
-        f.write(64 * '-' + '\n')
-        f.write('{} {}\n'.format('store_revision_info', datetime.datetime.now()))
-        f.write('release version: {}\n'.format(platform.version()))
-        f.write('python version: {}\n'.format(sys.version))
-        f.write('jax version: {}\n'.format(jax_version))
-        f.write('arguments: {}\n'.format(arg_string))
-        f.write('git hash: {}\n'.format(git_hash()))
-        f.write('git diff: {}\n'.format(git_diff()))
-        f.write('\n')
+        return Image.open(path)
+    except Exception as exc:
+        raise IOError(f'cannot read image {path}: {exc}') from exc
 
 
-def _git(cmd):
-    src_path = Path(__file__).resolve().parent
-    try:
-        gitproc = Popen(cmd, stdout=PIPE, cwd=str(src_path))
-        (stdout, _) = gitproc.communicate()
-        return stdout.decode('utf-8', errors='replace').strip()
-    except OSError as e:  # pragma: no cover
-        return ' '.join(cmd) + ': ' + e.strerror
+def pil2array(image, mode='RGB'):
+    """PIL image -> numpy uint8 array in the requested channel order."""
+    return np.asarray(image.convert(mode.upper()))
 
 
-def git_hash():
-    return _git(['git', 'rev-parse', 'HEAD'])
-
-
-def git_diff():
-    return _git(['git', 'diff', 'HEAD'])
-
-
-def write_arguments(args, path, mode='a'):
-    """Write the config repr into <path> (a yaml file path or a directory)."""
-    path = Path(str(path)).expanduser()
-
-    if path.suffix in ('.yaml', '.yml'):
-        file = path
-    else:
-        name = Path(sys.argv[0]).stem + '.yaml'
-        file = path / name
-
-    makedirs(file.parent)
-
-    with file.open(mode=mode) as f:
-        f.write('{}\n'.format(str(args)))
+def array2pil(image, mode='RGB'):
+    """Numpy HWC array -> PIL RGB image; `mode` names the array's channel
+    order (e.g. 'BGR' inputs get reordered into RGB)."""
+    order = [mode.upper().index(c) for c in _CHANNELS]
+    return Image.fromarray(np.asarray(image)[..., order], mode=_CHANNELS)
 
 
 def write_image(image, filename, prefix=None, mode='RGB'):
-    if prefix is not None:
-        filename = Path(prefix).joinpath(filename)
-    filename = Path(str(filename)).expanduser()
-
-    if isinstance(image, np.ndarray):
+    """Save a numpy array or PIL image; parent directories are created."""
+    path = _writable(_as_path(filename, prefix))
+    if not isinstance(image, Image.Image):
         image = array2pil(image, mode=mode)
-    else:
-        # normalize via numpy round-trip to avoid format oddities
-        image = array2pil(pil2array(image))
-
-    if image.save(str(filename)):
-        raise IOError('while writing the file {}'.format(filename))
-
-
-def read_image(file, prefix=None):
-    file = Path(file)
-    if prefix is not None:
-        file = Path(prefix).joinpath(file)
-
-    image = Image.open(file)
-    if image is None:
-        raise IOError('while reading the file {}'.format(file))
-
-    return image
+    elif image.mode != _CHANNELS:
+        image = image.convert(_CHANNELS)
+    try:
+        image.save(path)
+    except Exception as exc:
+        raise IOError(f'cannot write image {path}: {exc}') from exc
 
 
 class ImageLoader:
-    """Iterator over image files yielding numpy arrays (reference ioutils.py:137-185)."""
+    """Restartable iterator over image files yielding numpy RGB arrays.
 
-    def __init__(self, input, prefix=None, display=100, log=False):
-        if not isinstance(input, (Path, list)):
-            raise IOError("Input '{}' must be directory or list of files".format(input))
+    Accepts a directory (all files, sorted) or an explicit file list;
+    exposes `filename` for the most recently yielded image and `size`
+    for progress displays (capability parity with the reference's
+    ioutils iterator, reference ioutils.py:137-185).
+    """
 
-        if isinstance(input, list):
-            self.files = input
-        elif input.is_dir():
-            prefix = input.expanduser()
-            self.files = sorted(prefix.glob('*'))
+    def __init__(self, source, prefix=None, display=100, log=False):
+        if isinstance(source, (list, tuple)):
+            self.files = [_as_path(f, prefix) for f in source]
         else:
-            raise IOError("Directory '{}' does not exist".format(input))
+            root = _as_path(source)
+            if not root.is_dir():
+                raise IOError(f'not a directory or file list: {source}')
+            self.files = sorted(p for p in root.glob('*') if p.is_file())
 
-        self.counter = 0
-        self.start_time = time.time()
         self.display = display
-        self.size = len(self.files)
-        self.prefix = str(prefix) if prefix is not None else None
         self.log = log
+        self.size = len(self.files)
+        self.start_time = time.time()
         self.filename = None
+        self._cursor = 0
+
+    def __len__(self):
+        return self.size
 
     def __iter__(self):
         return self
 
     def __next__(self):
-        if self.counter < self.size:
-            image = read_image(self.files[self.counter], prefix=self.prefix)
-            self.filename = getattr(image, 'filename', str(self.files[self.counter]))
-            self.counter += 1
-            return pil2array(image)
-        raise StopIteration
+        if self._cursor >= self.size:
+            raise StopIteration
+        path = self.files[self._cursor]
+        self._cursor += 1
+        self.filename = str(path)
+        return pil2array(read_image(path))
 
     def reset(self):
-        self.counter = 0
+        self._cursor = 0
         return self
 
 
-def pil2array(image, mode='RGB'):
-    return np.array(image.convert(mode.upper()))
+# ---------------------------------------------------------------------------
+# run-dir artifacts: logs, timing, arguments, provenance
+# ---------------------------------------------------------------------------
 
-
-def array2pil(image, mode='RGB'):
-    default_mode = 'RGB'
-    index = [default_mode.index(sym) for sym in mode.upper()]
-    return Image.fromarray(image[:, :, index], mode=default_mode)
-
-
-def write_to_file(file, s, mode='w'):
-    file = Path(str(file)).expanduser()
-    file.parent.mkdir(parents=True, exist_ok=True)
-    with file.open(mode=mode) as f:
-        f.write(s)
+def write_to_file(file, text, mode='w'):
+    with _writable(file).open(mode) as f:
+        f.write(text)
 
 
 def write_text_log(file, info):
-    file = Path(str(file)).expanduser()
-    file.parent.mkdir(parents=True, exist_ok=True)
-
-    info_str = 64 * '-' + '\n' + str(info)
-    if info_str[-1] != '\n':
-        info_str += '\n'
-
-    with file.open(mode='a') as f:
-        f.write(info_str)
+    """Append one separator-framed entry to a run log."""
+    entry = f'{SEPARATOR}\n{info}'
+    if not entry.endswith('\n'):
+        entry += '\n'
+    write_to_file(file, entry, mode='a')
 
 
-def glob_single_file(model_dir, pattern):
-    files = list(Path(model_dir).glob(pattern))
-    if len(files) != 1:
-        raise ValueError(
-            f'There should be exactly one file matching {pattern} in {model_dir}.')
-    return files[0]
+def get_time():
+    """Start-time token for write_elapsed_time (monotonic clock)."""
+    return time.monotonic()
+
+
+def write_elapsed_time(targets, start_time):
+    """Record minutes elapsed since `start_time` into each target; targets
+    ending in .h5 get an appendable dataset, others an appended text line."""
+    from facenet_tpu import h5utils
+
+    minutes = (time.monotonic() - start_time) / 60
+    if not isinstance(targets, (list, tuple)):
+        targets = [targets]
+
+    for target in targets:
+        path = _as_path(target)
+        if path.suffix == '.h5':
+            h5utils.write(path, 'elapsed_time', minutes)
+        else:
+            write_to_file(path, f'elapsed time: {minutes:.3f}\n', mode='a')
+
+
+def write_arguments(args, path, mode='a'):
+    """Dump the run's config repr as <app>.yaml inside the run dir (or to
+    an explicit .yaml/.yml path)."""
+    path = _as_path(path)
+    if path.suffix not in ('.yaml', '.yml'):
+        path = path / (Path(sys.argv[0]).stem + '.yaml')
+    write_to_file(path, f'{args}\n', mode=mode)
+
+
+def _run_git(*args):
+    """Output of a git command run from the package checkout, never raising
+    (provenance must not be able to break a training run)."""
+    try:
+        proc = subprocess.run(
+            ['git', *args], cwd=Path(__file__).resolve().parent,
+            capture_output=True, timeout=30)
+        return proc.stdout.decode('utf-8', errors='replace').strip()
+    except Exception as exc:
+        return f'git {" ".join(args)} failed: {exc}'
+
+
+def git_hash():
+    return _run_git('rev-parse', 'HEAD')
+
+
+def git_diff():
+    return _run_git('diff', 'HEAD')
+
+
+def provenance():
+    """Everything needed to reproduce a run, as an ordered dict of lines."""
+    try:
+        import jax
+        jax_version = jax.__version__
+    except Exception:
+        jax_version = 'not installed'
+
+    import platform
+
+    return {
+        'release version': platform.version(),
+        'python version': sys.version,
+        'jax version': jax_version,
+        'arguments': ' '.join(sys.argv),
+        'git hash': git_hash(),
+        'git diff': git_diff(),
+    }
+
+
+def store_revision_info(target, mode='a'):
+    """Write a provenance block to <run_dir>/revision_info.txt (or to an
+    explicit .txt path)."""
+    path = _as_path(target)
+    if path.suffix != '.txt':
+        path = path / 'revision_info.txt'
+
+    lines = [SEPARATOR, f'store_revision_info {datetime.now()}']
+    lines += [f'{key}: {value}' for key, value in provenance().items()]
+    write_to_file(path, '\n'.join(lines) + '\n\n', mode=mode)

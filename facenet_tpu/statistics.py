@@ -39,85 +39,93 @@ from facenet_tpu.logging import logger
 _ROW_CHUNK = 512
 
 
-def pairwise_similarities(xa, xb=None, metric=0, atol=1.e-5):
-    """Pairwise distances between normalized embeddings (ref statistics.py:22-57).
+def _cos_to_distance(cos, metric):
+    """Map clipped cosine similarities to the configured distance."""
+    cos = np.clip(cos, -1.0, 1.0)
+    if metric == 0:
+        return 2.0 * (1.0 - cos)      # squared Euclidean of unit vectors
+    if metric == 1:
+        return np.arccos(cos)         # angular distance
+    raise ValueError(f'Undefined similarity metric {metric}')
 
-    :param xa: [Na, D] embeddings (L2-normalized)
-    :param xb: optional [Nb, D]; if None, returns the condensed upper triangle
-    :param metric: 0 — squared Euclidean 2(1-cos); 1 — arccos (angle)
+
+def _check_normalized(values, atol):
+    """Values that should be cosines of unit vectors must stay in [-1, 1]."""
+    if values.size and (values.min() < -(1 + atol) or
+                        values.max() > 1 + atol):
+        raise ValueError(
+            '\nembeddings must be normalized to 1, range {} {}'.format(
+                values.min(), values.max()))
+
+
+def pairwise_similarities(xa, xb=None, metric=0, atol=1.e-5):
+    """Distances between normalized embeddings (semantics of ref
+    statistics.py:22-57).
+
+    :param xa: [Na, D] L2-normalized embeddings
+    :param xb: optional [Nb, D]; omitted -> condensed upper triangle of xa
+    :param metric: 0 = squared Euclidean 2(1-cos); 1 = arccos angle
     """
     xa = np.asarray(xa)
-
     if xb is None:
-        sims = xa @ xa.transpose()
-        sims = sims[np.triu_indices(sims.shape[0], k=1)]
+        gram = xa @ xa.T
+        cos = gram[np.triu_indices(len(xa), k=1)]
     else:
-        sims = xa @ np.asarray(xb).transpose()
-
-    if sims.size > 0:
-        lim = 1 + atol
-        if sims.min() < -lim or sims.max() > lim:
-            raise ValueError(
-                '\nembeddings must be normalized to 1, range {} {}'.format(
-                    sims.min(), sims.max()))
-
-        sims = np.clip(sims, -1, 1)
-
-        if metric == 0:
-            sims = 2 * (1 - sims)
-        elif metric == 1:
-            sims = np.arccos(sims)
-        else:
-            raise ValueError('Undefined similarity metric {}'.format(metric))
-
-    return sims
+        cos = xa @ np.asarray(xb).T
+    _check_normalized(cos, atol)
+    return _cos_to_distance(cos, metric) if cos.size else cos
 
 
 def mean(x):
-    return np.mean(np.array(x))
+    return np.mean(np.asarray(x))
 
 
 def std(x):
-    return np.std(np.array(x))
+    return np.std(np.asarray(x))
 
 
 def split_embeddings(embeddings, labels):
-    """Split embeddings into per-class arrays (ref statistics.py:68-79)."""
-    emb_list = []
-    for label in np.unique(labels):
-        emb_list.append(embeddings[label == labels])
-    return emb_list
+    """Per-class list of embedding arrays, ordered by sorted unique label."""
+    labels = np.asarray(labels)
+    return [embeddings[labels == c] for c in np.unique(labels)]
 
 
 class SimilarityCalculator:
-    """Per-class-pair similarity evaluation (API parity: ref statistics.py:82-108)."""
+    """Embeddings + labels bundle for confusion computations.
+
+    The device path (`ConfidenceMatrix` -> `confusion_counts`) reads `raw`,
+    `labels` and `metric` directly. `evaluate(i, k)` is the per-class-pair
+    probe (same contract as the reference's CPU loop, ref statistics.py:
+    82-108): distances of block (i, k) plus the weight that makes each
+    class pair — not each image pair — count equally.
+    """
 
     def __init__(self, embeddings, labels, metric=0):
         self.metric = metric
         self.labels = np.asarray(labels)
-        self.raw = np.ascontiguousarray(np.asarray(embeddings), dtype=np.float32)
+        self.raw = np.ascontiguousarray(embeddings, dtype=np.float32)
         self.embeddings = split_embeddings(self.raw, self.labels)
-
-    def evaluate(self, i, k):
-        nrof_positive_class_pairs = self.nrof_classes
-        nrof_negative_class_pairs = self.nrof_classes * (self.nrof_classes - 1) / 2
-
-        if i == k:
-            sims = pairwise_similarities(self.embeddings[i], metric=self.metric)
-            weight = sims.size * nrof_positive_class_pairs
-        else:
-            sims = pairwise_similarities(self.embeddings[i], self.embeddings[k],
-                                         metric=self.metric)
-            weight = sims.size * nrof_negative_class_pairs
-
-        return sims, weight
 
     @property
     def nrof_classes(self):
         return len(self.embeddings)
 
     def nrof_images(self, i):
-        return self.embeddings[i].shape[0]
+        return len(self.embeddings[i])
+
+    def evaluate(self, i, k):
+        """Distances and normalization weight for class block (i, k)."""
+        c = self.nrof_classes
+        if i == k:
+            dists = pairwise_similarities(self.embeddings[i],
+                                          metric=self.metric)
+            nrof_class_pairs = c              # positive blocks: one per class
+        else:
+            dists = pairwise_similarities(self.embeddings[i],
+                                          self.embeddings[k],
+                                          metric=self.metric)
+            nrof_class_pairs = c * (c - 1) / 2  # unordered negative blocks
+        return dists, dists.size * nrof_class_pairs
 
 
 # ---------------------------------------------------------------------------
@@ -340,30 +348,29 @@ class ConfidenceMatrix:
             calculator.raw, calculator.labels, self.threshold,
             metric=calculator.metric)
 
+    def _ratio(self, num, denom):
+        """num / denom per threshold; 1.0 where the denominator is empty
+        (an undefined rate counts as perfect, matching the reference)."""
+        out = np.ones(self.threshold.size)
+        defined = denom > 0
+        out[defined] = num[defined] / denom[defined]
+        return out
+
     @property
     def accuracy(self):
         return (self.tp + self.tn) / (self.tp + self.fp + self.tn + self.fn)
 
     @property
     def precision(self):
-        i = (self.tp + self.fp) > 0
-        precision = np.ones(self.threshold.size)
-        precision[i] = self.tp[i] / (self.tp[i] + self.fp[i])
-        return precision
+        return self._ratio(self.tp, self.tp + self.fp)
 
     @property
     def tp_rates(self):
-        i = (self.tp + self.fn) > 0
-        tp_rates = np.ones(self.threshold.size)
-        tp_rates[i] = self.tp[i] / (self.tp[i] + self.fn[i])
-        return tp_rates
+        return self._ratio(self.tp, self.tp + self.fn)
 
     @property
     def tn_rates(self):
-        i = (self.tn + self.fp) > 0
-        tn_rates = np.ones(self.threshold.size)
-        tn_rates[i] = self.tn[i] / (self.tn[i] + self.fp[i])
-        return tn_rates
+        return self._ratio(self.tn, self.tn + self.fp)
 
     @property
     def fp_rates(self):
@@ -374,64 +381,87 @@ class ConfidenceMatrix:
         return 1 - self.tp_rates
 
 
+def roc_summary(fp_rates, tp_rates):
+    """AUC and EER of a ROC curve given as per-threshold rate arrays.
+
+    Failures are logged and reported as -1 (a validation report must never
+    crash a training run) — unlike the reference, which swallowed these
+    silently (ref statistics.py:215-224).
+    """
+    import sklearn.metrics
+    from scipy import interpolate
+    from scipy.optimize import brentq
+
+    try:
+        auc = float(sklearn.metrics.auc(fp_rates, tp_rates))
+    except Exception as exc:
+        logger.warning(f'AUC computation failed: {exc}')
+        auc = -1.0
+
+    try:
+        roc = interpolate.interp1d(fp_rates, tp_rates)
+        eer = float(brentq(lambda x: 1.0 - x - roc(x), 0.0, 1.0))
+    except Exception as exc:
+        logger.warning(f'EER computation failed: {exc}')
+        eer = -1.0
+
+    return auc, eer
+
+
 class Report:
-    """Statistical report over folds (ref statistics.py:178-234)."""
+    """Cross-fold summary for one threshold-selection criterion.
+
+    Collects train-fold matrices (full threshold sweep, used for the ROC
+    summary) and test-fold matrices (single chosen threshold, used for the
+    mean +- std rows). Text layout matches the reference run artifact
+    (models/*/logs/report.txt) so existing report parsers keep working.
+    """
+
+    # (report label, ConfidenceMatrix attribute) for the mean+-std rows
+    FIELDS = (
+        ('Accuracy: ', 'accuracy'),
+        ('Precision:', 'precision'),
+        ('Sensitivity (TPR, 1-a type 1 error):', 'tp_rates'),
+        ('Specificity (TNR, 1-b type 2 error):', 'tn_rates'),
+        ('Threshold:', 'threshold'),
+    )
 
     def __init__(self, criterion=None):
         self.criterion = criterion
         self.conf_matrix_train = []
         self.conf_matrix_test = []
 
-    def __repr__(self):
-        dct = self.dict
-
-        info = self.criterion + '\n'
-        info += ('Area under curve (AUC): {:1.5f}\n'.format(dct['auc']) +
-                 'Equal error rate (EER): {:1.5f}\n'.format(dct['eer']) + '\n')
-        info += ('Accuracy:  {:2.5f}+-{:2.5f}\n'.format(dct['accuracy'], dct['accuracy_std']) +
-                 'Precision: {:2.5f}+-{:2.5f}\n'.format(dct['precision'], std(dct['precision_std'])) +
-                 'Sensitivity (TPR, 1-a type 1 error): {:2.5f}+-{:2.5f}\n'.format(dct['tp_rates'], dct['tp_rates_std']) +
-                 'Specificity (TNR, 1-b type 2 error): {:2.5f}+-{:2.5f}\n'.format(dct['tn_rates'], dct['tn_rates_std']) +
-                 'Threshold: {:2.5f}+-{:2.5f}\n'.format(dct['threshold'], dct['threshold_std']) + '\n')
-        return info
-
     def append_fold(self, name, conf_matrix):
-        if name == 'train':
-            self.conf_matrix_train.append(conf_matrix)
-        else:
-            self.conf_matrix_test.append(conf_matrix)
+        folds = (self.conf_matrix_train if name == 'train'
+                 else self.conf_matrix_test)
+        folds.append(conf_matrix)
 
     @property
     def dict(self):
-        import sklearn.metrics
-        from scipy import interpolate
-        from scipy.optimize import brentq
+        summary = {}
 
-        tp_rates = np.mean(np.array([m.tp_rates for m in self.conf_matrix_train]), axis=0)
-        tn_rates = np.mean(np.array([m.tn_rates for m in self.conf_matrix_train]), axis=0)
+        tpr = np.mean([m.tp_rates for m in self.conf_matrix_train], axis=0)
+        fpr = 1 - np.mean([m.tn_rates for m in self.conf_matrix_train],
+                          axis=0)
+        summary['auc'], summary['eer'] = roc_summary(fpr, tpr)
 
-        dct = {'auc': -1, 'eer': -1}
-        try:
-            dct['auc'] = sklearn.metrics.auc(1 - tn_rates, tp_rates)
-        except Exception:
-            pass
+        for _, attr in self.FIELDS:
+            values = [getattr(m, attr) for m in self.conf_matrix_test]
+            summary[attr] = float(np.mean(values))
+            summary[attr + '_std'] = float(np.std(values))
 
-        try:
-            dct['eer'] = brentq(
-                lambda x: 1. - x - interpolate.interp1d(1 - tn_rates, tp_rates)(x),
-                0., 1.)
-        except Exception:
-            pass
+        return summary
 
-        def get(name):
-            return [getattr(m, name) for m in self.conf_matrix_test]
-
-        for key in ('accuracy', 'precision', 'tp_rates', 'tn_rates', 'threshold'):
-            x = get(key)
-            dct[key] = np.mean(x)
-            dct[key + '_std'] = np.std(x)
-
-        return dct
+    def __repr__(self):
+        s = self.dict
+        lines = [str(self.criterion),
+                 'Area under curve (AUC): {:1.5f}'.format(s['auc']),
+                 'Equal error rate (EER): {:1.5f}'.format(s['eer']),
+                 '']
+        lines += ['{} {:2.5f}+-{:2.5f}'.format(label, s[attr],
+                                               s[attr + '_std'])
+                  for label, attr in self.FIELDS]
+        return '\n'.join(lines) + '\n\n'
 
 
 class FaceToFaceValidation:
@@ -443,94 +473,80 @@ class FaceToFaceValidation:
     the test split; report across folds.
     """
 
+    # threshold grid upper bound per metric: sq-Euclidean of unit vectors
+    # maxes at 4, angles at pi (ref statistics.py:255-262)
+    THRESHOLD_RANGE = {0: 4.0, 1: np.pi}
+    NROF_THRESHOLDS = 100
+
     def __init__(self, embeddings, labels, config):
-        self.elapsed_time = time.monotonic()
+        started = time.monotonic()
         self.embeddings = np.asarray(embeddings)
         self.labels = np.asarray(labels)
-
-        assert self.embeddings.shape[0] == len(self.labels)
-
+        assert len(self.embeddings) == len(self.labels)
         self.config = config
-        self.reports = None
 
-        metric = int(config.metric or 0)
-        if metric == 0:
-            upper_threshold = 4
-        elif metric == 1:
-            upper_threshold = np.pi
-        else:
-            raise ValueError('Undefined similarity metric {}'.format(config.metric))
+        self.metric = int(config.metric or 0)
+        if self.metric not in self.THRESHOLD_RANGE:
+            raise ValueError(f'Undefined similarity metric {config.metric}')
+        self.thresholds = np.linspace(0, self.THRESHOLD_RANGE[self.metric],
+                                      self.NROF_THRESHOLDS)
 
-        self.metric = metric
-        self.thresholds = np.linspace(0, upper_threshold, 100)
+        far_target = float(config.far_target or 1e-3)
+        self.reports = (Report(criterion='MaximumAccuracy'),
+                        Report(criterion=f'FalseAlarmRate(FAR = {far_target})'))
+        self._run_folds(int(config.nrof_folds or 10), far_target)
 
-        self._evaluate()
-
+        self.elapsed_time = time.monotonic() - started
         logger.info(str(self))
 
-    def __repr__(self):
-        info = (f'{self.__class__.__name__}\n' +
-                f'metric: {self.metric}\n\n')
-        for r in self.reports:
-            info += str(r)
-        info += f'elapsed_time: {self.elapsed_time}\n'
-        return info
+    def _matrix(self, subset, thresholds):
+        calc = SimilarityCalculator(self.embeddings[subset],
+                                    self.labels[subset], metric=self.metric)
+        return ConfidenceMatrix(calc, thresholds)
 
-    def _evaluate(self):
+    def _far_threshold(self, matrix, far_target):
+        """Threshold whose train-fold FAR hits far_target, 0 if unreachable.
+
+        The reference interpolates with interp1d(..., kind='slinear')
+        (ref :301); modern scipy rejects the duplicate x values that FAR
+        plateaus produce, so np.interp over the non-decreasing fp_rate
+        curve does the same linear interpolation at the crossing.
+        """
+        if np.max(matrix.fp_rates) < far_target:
+            return 0.0
+        return float(np.interp(far_target, matrix.fp_rates, self.thresholds))
+
+    def _run_folds(self, nrof_folds, far_target):
+        """The reference protocol (ref statistics.py:277-313): per fold,
+        sweep all thresholds on the train split, pick one per criterion,
+        then score exactly that threshold on the held-out split."""
         from sklearn.model_selection import KFold
 
-        nrof_folds = int(self.config.nrof_folds or 10)
-        far_target = float(self.config.far_target or 1e-3)
+        folds = KFold(n_splits=nrof_folds, shuffle=True, random_state=0)
+        for train_set, test_set in folds.split(np.arange(len(self.labels))):
+            sweep = self._matrix(train_set, self.thresholds)
 
-        k_fold = KFold(n_splits=nrof_folds, shuffle=True, random_state=0)
-        indices = np.arange(len(self.labels))
-
-        self.reports = (
-            Report(criterion='MaximumAccuracy'),
-            Report(criterion='FalseAlarmRate(FAR = {})'.format(far_target)),
-        )
-
-        for fold_idx, (train_set, test_set) in enumerate(k_fold.split(indices)):
-            calculator = SimilarityCalculator(
-                self.embeddings[train_set], self.labels[train_set], metric=self.metric)
-
-            matrix = ConfidenceMatrix(calculator, self.thresholds)
-            for i in range(len(self.reports)):
-                self.reports[i].append_fold('train', matrix)
-
-            accuracy_threshold = self.thresholds[np.argmax(matrix.accuracy)]
-
-            # reference uses interp1d(fp_rates, thresholds, kind='slinear')
-            # (ref :301); modern scipy rejects the duplicate x values that FAR
-            # plateaus produce, so use np.interp over the (non-decreasing)
-            # fp_rate curve — identical linear interpolation at the crossing
-            far_threshold = 0
-            if np.max(matrix.fp_rates) >= far_target:
-                far_threshold = float(np.interp(far_target, matrix.fp_rates,
-                                                self.thresholds))
-
-            calculator = SimilarityCalculator(
-                self.embeddings[test_set], self.labels[test_set], metric=self.metric)
-
-            self.reports[0].append_fold('test', ConfidenceMatrix(calculator, accuracy_threshold))
-            self.reports[1].append_fold('test', ConfidenceMatrix(calculator, far_threshold))
-
-        self.elapsed_time = time.monotonic() - self.elapsed_time
+            chosen = (self.thresholds[np.argmax(sweep.accuracy)],
+                      self._far_threshold(sweep, far_target))
+            for report, threshold in zip(self.reports, chosen):
+                report.append_fold('train', sweep)
+                report.append_fold('test', self._matrix(test_set, threshold))
 
     @property
     def dict(self):
         return {r.criterion: r.dict for r in self.reports}
 
-    def write_report(self, file):
-        file = Path(str(file)).expanduser()
-        file.parent.mkdir(parents=True, exist_ok=True)
+    def __repr__(self):
+        body = ''.join(str(r) for r in self.reports)
+        return (f'{type(self).__name__}\nmetric: {self.metric}\n\n'
+                f'{body}elapsed_time: {self.elapsed_time}\n')
 
-        with file.open('at') as f:
-            f.write(64 * '-' + '\n')
-            f.write('{} {}\n'.format(self.__class__.__name__, datetime.datetime.now()))
-            f.write('metric: {}\n\n'.format(self.metric))
-            for r in self.reports:
-                f.write(str(r))
+    def write_report(self, file):
+        from facenet_tpu import ioutils
+        stamp = f'{type(self).__name__} {datetime.datetime.now()}'
+        body = ''.join(str(r) for r in self.reports)
+        ioutils.write_text_log(
+            file, f'{stamp}\nmetric: {self.metric}\n\n{body}')
 
     def write_h5file(self, h5file, tag=None):
         h5utils.write_dict(h5file, self.dict, group=tag)
