@@ -20,6 +20,9 @@ from facenet_tpu import export
               help='Output bundle directory.')
 @click.option('--h5', 'h5file', type=Path, default=None,
               help='Also dump per-layer activations/weights to this h5 file.')
+@click.option('--compiled/--no-compiled', default=True,
+              help='Also serialize a standalone StableHLO inference artifact '
+                   '(weights baked in, symbolic batch; runs with jax alone).')
 def main(**options):
     bundle = export.load_model(options['model_dir'])
 
@@ -33,6 +36,14 @@ def main(**options):
     out = jax.jit(lambda v, x: bundle.model.apply(v, x, train=False))(
         bundle.variables, imgs)
     print(f'smoke forward: input {imgs.shape} -> output {tuple(out.shape)}')
+
+    if options['compiled']:
+        artifact = export.save_compiled(options['output'], bundle.model,
+                                        bundle.variables)
+        got = export.load_compiled(artifact)(imgs)
+        assert tuple(got.shape) == tuple(out.shape)
+        print(f'compiled artifact: {artifact} '
+              f'(platforms {export.load_compiled(artifact).platforms})')
 
     if options['h5file']:
         export.export_h5(options['h5file'], bundle.model, bundle.variables,

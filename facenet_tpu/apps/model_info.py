@@ -18,7 +18,21 @@ from facenet_tpu import export
               help='Path to an exported model bundle directory.')
 @click.option('--jaxpr', is_flag=True, default=False,
               help='Also print the jaxpr of the jitted forward pass.')
+@click.option('--ops', is_flag=True, default=False,
+              help='Print the compiled StableHLO op histogram (parity with '
+                   'the reference frozen-graph op dump, ref model_info.py:'
+                   '63-77). Needs a model.stablehlo in the bundle.')
 def main(**options):
+    if options['ops']:
+        compiled = export.load_compiled(options['path'])
+        print(f'platforms: {", ".join(compiled.platforms)}')
+        hist = compiled.op_histogram()
+        width = max(len(op) for op in hist)
+        for op, count in hist.items():
+            print(f'{op:<{width}}  {count:>6}')
+        print(f'\ntotal ops: {sum(hist.values())}')
+        return
+
     bundle = export.load_model(options['path'])
 
     print(f"model: {bundle.meta.get('model_class')}")

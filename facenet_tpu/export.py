@@ -32,6 +32,7 @@ from facenet_tpu.models.inception_resnet_v1 import InceptionResnetV1
 
 MODEL_FILE = 'model.yaml'
 PARAMS_FILE = 'params.msgpack'
+COMPILED_FILE = 'model.stablehlo'
 
 
 @dataclasses.dataclass
@@ -106,6 +107,89 @@ def load_model(path):
         variables = serialization.from_bytes(template, f.read())
 
     return ModelBundle(model=model, variables=variables, meta=meta)
+
+
+def save_compiled(path, model, variables, platforms=('cpu', 'tpu')):
+    """Serialize the inference forward as a self-contained StableHLO module.
+
+    The TPU-native analogue of the reference's frozen .pb with
+    variables-to-constants conversion (reference tfutils.py:56-129,
+    optimize_for_inference :121-123): the weights are baked into the module
+    as constants and the batch dimension is symbolic, so the artifact runs
+    ANY batch size on any listed platform with nothing but jax installed —
+    no facenet_tpu, no model class, no params file (see `load_compiled`).
+
+    Returns the artifact path (<path>/model.stablehlo).
+    """
+    from jax import export as jax_export
+
+    path = Path(str(path)).expanduser()
+    path.mkdir(parents=True, exist_ok=True)
+
+    variables = jax.device_get(variables)
+
+    def forward(images):
+        # uint8 in, L2-normalized f32 out — the serving contract
+        # (reference facenet/__init__.py:17-34 node contract)
+        return model.apply(variables, images, train=False)
+
+    batch = jax_export.symbolic_shape('b')[0]
+    spec = jax.ShapeDtypeStruct(
+        (batch, model.image_size, model.image_size, 3), np.uint8)
+    exported = jax_export.export(jax.jit(forward),
+                                 platforms=tuple(platforms))(spec)
+
+    artifact = path / COMPILED_FILE
+    artifact.write_bytes(exported.serialize())
+    return artifact
+
+
+class CompiledModel:
+    """A deserialized standalone inference artifact.
+
+    Wraps a StableHLO module produced by `save_compiled`; callable with a
+    uint8 [B, H, W, 3] batch, returns L2-normalized f32 [B, D] embeddings.
+    Requires only jax — deliberately touches no facenet_tpu model code.
+    """
+
+    def __init__(self, exported):
+        self._exported = exported
+
+    @classmethod
+    def load(cls, path):
+        from jax import export as jax_export
+
+        path = Path(str(path)).expanduser()
+        if path.is_dir():
+            path = path / COMPILED_FILE
+        return cls(jax_export.deserialize(path.read_bytes()))
+
+    def __call__(self, images):
+        return self._exported.call(np.asarray(images, dtype=np.uint8))
+
+    @property
+    def platforms(self):
+        return self._exported.platforms
+
+    def mlir_module(self):
+        """StableHLO text of the module (for op dumps / inspection)."""
+        return self._exported.mlir_module()
+
+    def op_histogram(self):
+        """Occurrence count per StableHLO op — the analogue of the
+        reference's frozen-graph op listing (ref model_info.py:63-77)."""
+        import re
+        ops = re.findall(r'\b(?:stablehlo|func|call)\.(\w+)',
+                         self.mlir_module())
+        hist = {}
+        for op in ops:
+            hist[op] = hist.get(op, 0) + 1
+        return dict(sorted(hist.items(), key=lambda kv: -kv[1]))
+
+
+def load_compiled(path):
+    """Load a standalone compiled artifact saved by `save_compiled`."""
+    return CompiledModel.load(path)
 
 
 def export_h5(h5file, model, variables, images, batch_size=None):
