@@ -49,17 +49,19 @@ def run(cfg):
         return (str(cfg.sampler or '') == 'pk' or
                 float(cfg.loss.triplet_factor or 0.0) > 0)
 
-    def train_batches():
+    def train_batches(start_state=None):
         # P-classes x K-images batches when metric-learning losses are on
         # (semi-hard triplet mining needs same-class pairs in every batch,
         # ref dataset.py:46-101); plain shuffled batches otherwise
         if use_pk_sampler():
             return dataset.pipeline_with_equal_batches(
-                train_loader, train_dbase.classes, cfg, seed=int(cfg.seed))
+                train_loader, train_dbase.classes, cfg, seed=int(cfg.seed),
+                start_state=start_state)
         return train_dbase.batches(train_loader,
                                    batch_size=int(cfg.batch_size),
                                    shuffle=True, repeat=True,
-                                   drop_remainder=True, seed=int(cfg.seed))
+                                   drop_remainder=True, seed=int(cfg.seed),
+                                   start_state=start_state)
 
     test_dbase = dataset.Database(cfg.validate.dataset)
 
@@ -92,13 +94,16 @@ def run(cfg):
     ckpt = CheckpointManager(cfg.model.path / 'checkpoints',
                              max_to_keep=cfg.checkpoint.max_to_keep or 3)
 
+    data_state = None
     if cfg.model.checkpoint:
         restore_mgr = CheckpointManager(cfg.model.checkpoint)
-        restored = restore_mgr.restore(state)
+        restored, data_state = restore_mgr.restore(state,
+                                                   with_data_state=True)
         if restored is not None:
             state = restored
             print(f'Restored checkpoint step {int(state.step)} '
-                  f'from {cfg.model.checkpoint}')
+                  f'from {cfg.model.checkpoint}' +
+                  (f' (data cursor {data_state})' if data_state else ''))
         restore_mgr.close()
 
     validate_cb = callbacks.ValidateCallback(
@@ -111,9 +116,12 @@ def run(cfg):
         h5file=cfg.logs.dir / 'report.h5')
 
     # ------------------------------------------------------------------
-    # epoch loop
+    # epoch loop. The pipeline's cursor rides along in every checkpoint,
+    # so a killed run resumes mid-epoch on the exact next batch
+    # (SURVEY.md §5 failure-recovery plan).
     max_epochs = int(cfg.train.epoch.max_nrof_epochs)
-    batches_iter = iter(train_batches())
+    pipeline = train_batches(start_state=data_state)
+    batches_iter = iter(pipeline)
 
     for epoch in range(max_epochs):
         state, metrics = trainer.train_epoch(state, batches_iter, epoch)
@@ -123,7 +131,7 @@ def run(cfg):
             cfg.logs.dir / 'report.txt',
             f'epoch [{epoch + 1}/{max_epochs}] {metrics}')
 
-        ckpt.save(int(state.step), state)
+        ckpt.save(int(state.step), state, data_state=pipeline.state())
         validate_cb.on_epoch_end(epoch, state)
 
     # final export as a deployable bundle

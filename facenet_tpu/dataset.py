@@ -172,13 +172,14 @@ class Database:
     # ------------------------------------------------------------------
 
     def batches(self, loader, batch_size, shuffle=False, repeat=False,
-                drop_remainder=False, num_workers=8, prefetch=2, seed=None):
+                drop_remainder=False, num_workers=8, prefetch=2, seed=None,
+                start_state=None):
         """Batched pipeline over (files, labels) — tf_dataset_api equivalent."""
         return BatchLoader(self.files, self.labels, loader, batch_size,
                            shuffle=shuffle, repeat=repeat,
                            drop_remainder=drop_remainder,
                            num_workers=num_workers, prefetch=prefetch,
-                           seed=seed)
+                           seed=seed, start_state=start_state)
 
     # reference-compatible name
     def tf_dataset_api(self, loader, batch_size, buffer_size=None, repeat=False):
@@ -246,11 +247,18 @@ class BatchLoader:
     Yields (images [B,H,W,3] uint8, labels [B] int32). The decode pool runs
     `num_workers` PIL decoders; `prefetch` batches are staged ahead so device
     compute overlaps host IO (the TPU-side analogue of tf.data prefetch).
+
+    Resumable (SURVEY.md §5 failure-recovery plan): the shuffle order of
+    epoch e is derived deterministically from (seed, e), and the loader
+    tracks a (epoch, pos) cursor advanced as each batch is handed to the
+    consumer. `state()` captures the cursor for the training checkpoint;
+    constructing with `start_state=` continues the exact sample sequence —
+    a mid-epoch resume neither skips nor repeats any image.
     """
 
     def __init__(self, files, labels, loader, batch_size, shuffle=False,
                  repeat=False, drop_remainder=False, num_workers=8,
-                 prefetch=2, seed=None):
+                 prefetch=2, seed=None, start_state=None):
         self.files = list(files)
         self.labels = np.asarray(labels, dtype=np.int32)
         self.loader = loader
@@ -260,7 +268,15 @@ class BatchLoader:
         self.drop_remainder = drop_remainder
         self.num_workers = num_workers
         self.prefetch = prefetch
-        self.rng = np.random.RandomState(seed)
+        if seed is None:
+            seed = int(np.random.randint(0, 2 ** 31 - 1))
+        self.seed = int(seed)
+        self._epoch = 0
+        self._pos = 0                      # batches delivered this epoch
+        if start_state:
+            self.seed = int(start_state.get('seed', self.seed))
+            self._epoch = int(start_state.get('epoch', 0))
+            self._pos = int(start_state.get('pos', 0))
 
     def __len__(self):
         n = len(self.files)
@@ -272,31 +288,60 @@ class BatchLoader:
     def nrof_batches(self):
         return len(self)
 
+    def state(self):
+        """Cursor for checkpointing; feed back via `start_state=`."""
+        return {'seed': self.seed, 'epoch': self._epoch, 'pos': self._pos}
+
+    def _epoch_order(self, epoch):
+        order = np.arange(len(self.files))
+        if self.shuffle:
+            np.random.RandomState(
+                (self.seed * 1_000_003 + epoch) % (2 ** 31 - 1)).shuffle(order)
+        return order
+
     def _index_stream(self):
         n = len(self.files)
+        epoch, skip = self._epoch, self._pos
         while True:
-            order = np.arange(n)
-            if self.shuffle:
-                self.rng.shuffle(order)
+            order = self._epoch_order(epoch)
+            produced = 0
             for start in range(0, n, self.batch_size):
                 idx = order[start:start + self.batch_size]
                 if self.drop_remainder and len(idx) < self.batch_size:
                     continue
+                produced += 1
+                if produced <= skip:       # resume: skip delivered batches
+                    continue
                 yield idx
+            epoch += 1
+            skip = 0
             if not self.repeat:
                 return
+
+    def _advance(self):
+        self._pos += 1
+        if self._pos >= len(self):
+            self._epoch += 1
+            self._pos = 0
 
     def __iter__(self):
         # Fast path: fixed-geometry loaders go through the native C++
         # threadpool decoder (facenet_tpu/native) — one submit per batch,
         # double-buffered, no Python in the decode loop.
         mode = getattr(self.loader, 'native_mode', None)
+        inner = None
         if mode is not None:
             from facenet_tpu import native
             if native.available():
-                yield from self._iter_native(mode)
-                return
-        yield from self._iter_pil()
+                inner = self._iter_native(mode)
+        if inner is None:
+            inner = self._iter_pil()
+        # cursor advances when a batch is handed out, so `state()` taken
+        # after a train step never re-delivers that batch on resume
+        # (prefetched-but-undelivered batches don't count)
+        for item in inner:
+            self._advance()
+            yield item
 
     def _iter_native(self, mode):
         from facenet_tpu import native
@@ -373,8 +418,7 @@ class BatchLoader:
                 pass
 
 
-def pipeline_with_equal_batches(loader, classes, config, seed=None,
-                                num_workers=8, prefetch=2):
+class PKPipeline:
     """P-classes x K-images equal-batch pipeline (ref dataset.py:46-101).
 
     Yields (images, labels) batches of size P*K forever. P/K default to the
@@ -382,64 +426,108 @@ def pipeline_with_equal_batches(loader, classes, config, seed=None,
     runs through the native prefetching loader when available (a serial
     per-file loop would block the train step for ~P*K decode times), with
     a thread-pool fallback.
+
+    Resumable: batch b is sampled with an RNG seeded by (seed, b), so the
+    stream is a pure function of the batch counter — `state()` is just that
+    counter, and `start_state=` continues the identical sequence.
     """
-    nrof_classes_per_batch = int(config.nrof_classes_per_batch or 20)
-    nrof_examples_per_class = int(config.nrof_examples_per_class or 5)
-    config.nrof_classes_per_batch = nrof_classes_per_batch
-    config.nrof_examples_per_class = nrof_examples_per_class
 
-    all_files = []
-    class_slices = []
-    usable = []
-    for idx, _class in enumerate(classes):
-        _class.index = idx
-        class_slices.append((len(all_files), _class.nrof_images))
-        all_files.extend(_class.files)
-        if _class.nrof_images >= nrof_examples_per_class:
-            usable.append(idx)
+    def __init__(self, loader, classes, config, seed=None, num_workers=8,
+                 prefetch=2, start_state=None):
+        self.p = int(config.nrof_classes_per_batch or 20)
+        self.k = int(config.nrof_examples_per_class or 5)
+        config.nrof_classes_per_batch = self.p
+        config.nrof_examples_per_class = self.k
 
-    rnd = random.Random(seed)
+        self.loader = loader
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        if seed is None:
+            seed = int(np.random.randint(0, 2 ** 31 - 1))
+        self.seed = int(seed)
+        self._batch = 0
+        if start_state:
+            self.seed = int(start_state.get('seed', self.seed))
+            self._batch = int(start_state.get('batch', 0))
 
-    def index_batches():
+        self.all_files = []
+        self.class_slices = []
+        self.usable = []
+        for idx, _class in enumerate(classes):
+            _class.index = idx
+            self.class_slices.append((len(self.all_files),
+                                      _class.nrof_images))
+            self.all_files.extend(_class.files)
+            if _class.nrof_images >= self.k:
+                self.usable.append(idx)
+
+    def state(self):
+        """Cursor for checkpointing; feed back via `start_state=`."""
+        return {'seed': self.seed, 'batch': self._batch}
+
+    def _sample(self, b):
+        rnd = random.Random(f'{self.seed}:{b}')
+        idx, labels = [], []
+        for ci in rnd.sample(self.usable, self.p):
+            start, n = self.class_slices[ci]
+            rows = rnd.sample(range(n), self.k)
+            idx.extend(start + r for r in rows)
+            labels.extend([ci] * self.k)
+        return idx, np.asarray(labels, dtype=np.int32)
+
+    def _index_batches(self):
+        b = self._batch
         while True:
-            idx, labels = [], []
-            for ci in rnd.sample(usable, nrof_classes_per_batch):
-                start, n = class_slices[ci]
-                rows = rnd.sample(range(n), nrof_examples_per_class)
-                idx.extend(start + r for r in rows)
-                labels.extend([ci] * nrof_examples_per_class)
-            yield idx, np.asarray(labels, dtype=np.int32)
+            yield self._sample(b)
+            b += 1
 
-    mode = getattr(loader, 'native_mode', None)
-    if mode is not None:
+    def _raw_iter(self):
+        mode = getattr(self.loader, 'native_mode', None)
+        if mode is not None:
+            from facenet_tpu import native
+            if native.available():
+                yield from self._iter_native(mode)
+                return
+        yield from self._iter_pool()
+
+    def _iter_native(self, mode):
         from facenet_tpu import native
-        if native.available():
-            def native_gen():
-                ldr = native.NativeBatchLoader(
-                    all_files, (loader.height, loader.width), mode=mode,
-                    num_threads=num_workers, prefetch=max(prefetch, 1))
-                pending_labels = []
+        ldr = native.NativeBatchLoader(
+            self.all_files, (self.loader.height, self.loader.width),
+            mode=mode, num_threads=self.num_workers,
+            prefetch=max(self.prefetch, 1))
+        pending_labels = []
 
-                def stream():
-                    for idx, labels in index_batches():
-                        pending_labels.append(labels)
-                        yield idx
+        def stream():
+            for idx, labels in self._index_batches():
+                pending_labels.append(labels)
+                yield idx
 
-                try:
-                    for images, _ok in ldr.iterate(stream()):
-                        yield images, pending_labels.pop(0)
-                finally:
-                    ldr.close()
+        try:
+            for images, _ok in ldr.iterate(stream()):
+                yield images, pending_labels.pop(0)
+        finally:
+            ldr.close()
 
-            return native_gen()
-
-    def generator():
-        with ThreadPoolExecutor(max_workers=num_workers) as pool:
-            for idx, labels in index_batches():
-                images = list(pool.map(lambda i: loader(all_files[i]), idx))
+    def _iter_pool(self):
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            for idx, labels in self._index_batches():
+                images = list(pool.map(lambda i: self.loader(self.all_files[i]),
+                                       idx))
                 yield np.stack(images), labels
 
-    return generator()
+    def __iter__(self):
+        for item in self._raw_iter():
+            self._batch += 1
+            yield item
+
+
+def pipeline_with_equal_batches(loader, classes, config, seed=None,
+                                num_workers=8, prefetch=2, start_state=None):
+    """Reference-named constructor for PKPipeline (ref dataset.py:46-101)."""
+    return PKPipeline(loader, classes, config, seed=seed,
+                      num_workers=num_workers, prefetch=prefetch,
+                      start_state=start_state)
 
 
 def equal_batches_input_pipeline(embeddings, config, seed=None):

@@ -96,6 +96,22 @@ class FaceDetector:
                  params=None, weights=None, **kwargs):
         self.detector = detector
 
+        if params is None and not weights:
+            # Default to the committed bundle (trained on the synthetic
+            # face dataset, quality-gated — detectors/pretrained.py), the
+            # counterpart of the reference's dependence on the pretrained
+            # pip `mtcnn` package (ref face_detector.py:63-66). `weights`
+            # or `params` still override; random init only as a last
+            # resort (and loudly).
+            from facenet_tpu.detectors import pretrained
+            params = pretrained.load_bundled(detector)
+            if params is None:
+                from facenet_tpu.logging import logger
+                logger.warning(
+                    f'no bundled weights for {detector!r}; using RANDOM '
+                    'init — detections will be meaningless until trained '
+                    '(apps/train_detector.py)')
+
         if detector in ('mtcnn', 'pypimtcnn'):
             from facenet_tpu.detectors.mtcnn.cascade import MTCNN
             self.mode = 'RGB'

@@ -1,0 +1,327 @@
+"""Procedural synthetic face data: scenes with ground-truth boxes and
+landmarks, plus identity-conditioned aligned crops.
+
+The reference delivers working detection by delegating to a *pretrained*
+pip package (reference detectors/face_detector.py:63-66) and proves its
+training pipeline with run logs over real datasets (reference
+models/*/logs/report.txt). Neither pretrained weights nor real face data
+are obtainable offline, so this module provides the in-repo substitute:
+a deterministic renderer of face-like images that supports
+
+  * detector training + a measurable quality gate (recall / IoU on
+    held-out scenes — see tools/train_synthetic_detectors.py and
+    tests/test_detector_quality.py), and
+  * embedding training at the reference's eval geometry (~530 identity
+    classes, directory-per-class layout readable by `dataset.Database`).
+
+Faces are rendered analytically in a face-local coordinate frame
+(u right, v down, both roughly [-1, 1]) and composited into scenes at an
+arbitrary center / scale / rotation, so the same "shader" serves every
+image size. An identity is ~14 appearance parameters (face aspect, skin
+tone, eye geometry, brow, nose, mouth, hair) derived deterministically
+from the class id; per-image jitter (pose, lighting, background) makes
+classes non-trivial to separate. Pure numpy — runs on the host data path.
+
+Landmark convention matches MTCNN (Zhang et al. 2016): left eye, right
+eye, nose tip, left mouth corner, right mouth corner — (x, y) pixels.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+from pathlib import Path
+
+__all__ = [
+    'identity_params', 'render_face_patch', 'render_scene',
+    'write_detection_dataset', 'write_identity_dataset',
+]
+
+
+# ---------------------------------------------------------------------------
+# identity -> appearance parameters
+# ---------------------------------------------------------------------------
+
+def identity_params(class_id, salt=0):
+    """Deterministic appearance parameters for one identity."""
+    rng = np.random.RandomState((1_000_003 * (int(class_id) + 1) + salt)
+                                % (2 ** 31))
+    skin_base = np.array([225, 185, 150], np.float32)
+    return {
+        'skin': skin_base * rng.uniform(0.55, 1.05) *
+                np.array([1.0, rng.uniform(0.9, 1.05), rng.uniform(0.85, 1.1)],
+                         np.float32),
+        'face_rx': rng.uniform(0.62, 0.80),     # head half-width
+        'face_ry': rng.uniform(0.82, 0.97),     # head half-height
+        'eye_dx': rng.uniform(0.24, 0.38),      # eye x offset from center
+        'eye_y': rng.uniform(-0.34, -0.16),     # eye row
+        'eye_rx': rng.uniform(0.10, 0.16),
+        'eye_ry': rng.uniform(0.055, 0.095),
+        'iris_r': rng.uniform(0.035, 0.060),
+        'iris_col': rng.uniform(20, 110, 3).astype(np.float32),
+        'brow_w': rng.uniform(0.02, 0.05),      # brow half-height
+        'brow_tilt': rng.uniform(-0.08, 0.08),
+        'nose_len': rng.uniform(0.30, 0.48),    # from eye row to tip
+        'nose_w': rng.uniform(0.05, 0.11),
+        'mouth_y': rng.uniform(0.42, 0.58),
+        'mouth_w': rng.uniform(0.18, 0.34),     # mouth half-width
+        'mouth_h': rng.uniform(0.035, 0.075),
+        'mouth_curve': rng.uniform(-0.06, 0.10),
+        'lip_col': np.array([rng.uniform(120, 200), rng.uniform(30, 80),
+                             rng.uniform(40, 90)], np.float32),
+        'hair_line': rng.uniform(-0.75, -0.45),  # v above which hair covers
+        'hair_col': rng.uniform(10, 130, 3).astype(np.float32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# face shader (face-local coordinates)
+# ---------------------------------------------------------------------------
+
+def _ellipse(u, v, cu, cv, ru, rv):
+    return ((u - cu) / ru) ** 2 + ((v - cv) / rv) ** 2 <= 1.0
+
+
+def _shade_face(u, v, p, light):
+    """Evaluate the face at local coords (u, v) -> (rgb float32, head mask).
+
+    `light` in [0.7, 1.3] scales the skin/hair shading (per-image jitter).
+    """
+    h, w = u.shape
+    rgb = np.zeros((h, w, 3), np.float32)
+
+    head = _ellipse(u, v, 0.0, 0.0, p['face_rx'], p['face_ry'])
+
+    # skin with a soft left-right shading gradient
+    shade = (1.0 - 0.18 * (u / max(p['face_rx'], 1e-3))) * light
+    rgb[head] = p['skin'][None, :] * shade[head, None]
+
+    # hair: top band of the head
+    hair = head & (v < p['hair_line'])
+    rgb[hair] = p['hair_col'][None, :] * light
+
+    ey, dx = p['eye_y'], p['eye_dx']
+    for s in (-1.0, 1.0):
+        sclera = _ellipse(u, v, s * dx, ey, p['eye_rx'], p['eye_ry'])
+        rgb[sclera & head] = 235.0 * light
+        iris = _ellipse(u, v, s * dx, ey, p['iris_r'], p['iris_r'])
+        rgb[iris & head] = p['iris_col'][None, :] * 0.9
+        # brow: tilted band above the eye
+        bv = ey - 2.2 * p['eye_ry'] + p['brow_tilt'] * s * (u - s * dx)
+        brow = (np.abs(v - bv) < p['brow_w']) & \
+               (np.abs(u - s * dx) < p['eye_rx'] * 1.35)
+        rgb[brow & head] = p['hair_col'][None, :] * 0.8
+
+    # nose: narrow triangle from eye row down to the tip, slightly darker
+    tip = ey + p['nose_len']
+    span = np.clip((v - ey) / max(p['nose_len'], 1e-3), 0.0, 1.0)
+    nose = (v >= ey) & (v <= tip) & (np.abs(u) <= p['nose_w'] * span)
+    rgb[nose & head] = p['skin'][None, :] * 0.72 * light
+
+    # mouth: curved band
+    mv = p['mouth_y'] + p['mouth_curve'] * (u / max(p['mouth_w'], 1e-3)) ** 2
+    mouth = (np.abs(v - mv) < p['mouth_h']) & (np.abs(u) < p['mouth_w'])
+    rgb[mouth & head] = p['lip_col'][None, :] * light
+
+    return rgb, head
+
+
+def _face_landmarks_local(p):
+    """5-point landmarks in face-local coordinates [(u, v) x 5]."""
+    tip = p['eye_y'] + p['nose_len']
+    return np.array([
+        [-p['eye_dx'], p['eye_y']],
+        [p['eye_dx'], p['eye_y']],
+        [0.0, tip],
+        [-p['mouth_w'] * 0.85, p['mouth_y']],
+        [p['mouth_w'] * 0.85, p['mouth_y']],
+    ], np.float32)
+
+
+def _paint_face(img, cx, cy, half, rot, p, light):
+    """Composite one face into `img` (modified in place).
+
+    :returns: (tight box [x1, y1, x2, y2], landmarks [5, 2]) in image pixels,
+        or None if the face fell fully outside the canvas.
+    """
+    h, w = img.shape[:2]
+    pad = int(np.ceil(half * 1.45))
+    x1, x2 = int(cx) - pad, int(cx) + pad
+    y1, y2 = int(cy) - pad, int(cy) + pad
+    xs1, xs2 = max(x1, 0), min(x2, w)
+    ys1, ys2 = max(y1, 0), min(y2, h)
+    if xs2 - xs1 < 4 or ys2 - ys1 < 4:
+        return None
+
+    yy, xx = np.mgrid[ys1:ys2, xs1:xs2].astype(np.float32)
+    c, s = np.cos(rot), np.sin(rot)
+    du, dv = (xx - cx) / half, (yy - cy) / half
+    u = c * du + s * dv
+    v = -s * du + c * dv
+
+    rgb, head = _shade_face(u, v, p, light)
+    region = img[ys1:ys2, xs1:xs2]
+    region[head] = np.clip(rgb[head], 0, 255).astype(np.uint8)
+
+    if not head.any():
+        return None
+    ys, xs = np.nonzero(head)
+    box = np.array([xs1 + xs.min(), ys1 + ys.min(),
+                    xs1 + xs.max() + 1, ys1 + ys.max() + 1], np.float32)
+
+    lm = _face_landmarks_local(p)
+    lmx = cx + (c * lm[:, 0] - s * lm[:, 1]) * half
+    lmy = cy + (s * lm[:, 0] + c * lm[:, 1]) * half
+    return box, np.stack([lmx, lmy], axis=1)
+
+
+def _background(rng, h, w, clutter=True):
+    """Gradient + noise background with non-face distractor shapes."""
+    base = rng.uniform(20, 160, 3)
+    gx = np.linspace(0, 1, w, dtype=np.float32)[None, :, None]
+    gy = np.linspace(0, 1, h, dtype=np.float32)[:, None, None]
+    img = (base[None, None, :] * (0.6 + 0.4 * gx) * (0.6 + 0.4 * gy))
+    img = img + rng.normal(0, 12, (h, w, 3))
+
+    if clutter:
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        for _ in range(rng.randint(2, 6)):
+            col = rng.uniform(0, 255, 3).astype(np.float32)
+            if rng.rand() < 0.5:   # featureless ellipse (face-sized decoy)
+                cx, cy = rng.uniform(0, w), rng.uniform(0, h)
+                rx = rng.uniform(0.05, 0.25) * w
+                ry = rng.uniform(0.05, 0.25) * h
+                m = ((xx - cx) / rx) ** 2 + ((yy - cy) / ry) ** 2 <= 1
+            else:                  # rectangle
+                x1 = rng.randint(0, w)
+                y1 = rng.randint(0, h)
+                m = (xx >= x1) & (xx < x1 + rng.randint(8, w // 2)) & \
+                    (yy >= y1) & (yy < y1 + rng.randint(8, h // 2))
+            img[m] = col
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# public renderers
+# ---------------------------------------------------------------------------
+
+def render_face_patch(size, identity, rng, jitter=True):
+    """One aligned face crop for identity training ([size, size, 3] uint8).
+
+    The face fills most of the crop (like the 160x160 thumbnails
+    `extract_faces` produces); jitter adds pose/scale/lighting variation.
+    """
+    size = int(size)
+    p = identity_params(identity) if np.isscalar(identity) else identity
+    img = _background(rng, size, size, clutter=False)
+
+    if jitter:
+        half = size * 0.5 * rng.uniform(0.78, 0.95)
+        cx = size / 2 + rng.uniform(-0.05, 0.05) * size
+        cy = size / 2 + rng.uniform(-0.05, 0.05) * size
+        rot = rng.uniform(-0.17, 0.17)
+        light = rng.uniform(0.75, 1.25)
+    else:
+        half, cx, cy, rot, light = size * 0.45, size / 2, size / 2, 0.0, 1.0
+
+    _paint_face(img, cx, cy, half, rot, p, light)
+    return img
+
+
+def render_scene(rng, shape=(256, 256), n_faces=None, identities=None,
+                 min_face=24, max_face=None, clutter=True):
+    """A cluttered scene with 0..N faces and ground truth.
+
+    :returns: (image [H, W, 3] uint8, boxes [G, 4] float32 x1y1x2y2,
+        landmarks [G, 5, 2] float32)
+    """
+    h, w = int(shape[0]), int(shape[1])
+    if max_face is None:
+        max_face = int(min(h, w) * 0.75)
+    if n_faces is None:
+        n_faces = rng.randint(1, 4)
+
+    img = _background(rng, h, w, clutter=clutter)
+    boxes, lmks = [], []
+    for k in range(n_faces):
+        for _attempt in range(12):
+            side = rng.uniform(min_face, max_face)
+            half = side / 2
+            cx = rng.uniform(half * 0.8, w - half * 0.8)
+            cy = rng.uniform(half * 0.8, h - half * 0.8)
+            # keep faces mostly non-overlapping so boxes are unambiguous
+            ok = True
+            for b in boxes:
+                bx = (b[0] + b[2]) / 2, (b[1] + b[3]) / 2
+                min_d = (b[2] - b[0]) / 2 + half
+                if abs(cx - bx[0]) < min_d and abs(cy - bx[1]) < min_d:
+                    ok = False
+                    break
+            if not ok:
+                continue
+            ident = (identity_params(identities[k]) if identities is not None
+                     else identity_params(rng.randint(10 ** 6), salt=7))
+            out = _paint_face(img, cx, cy, half, rng.uniform(-0.2, 0.2),
+                              ident, rng.uniform(0.75, 1.25))
+            if out is not None:
+                boxes.append(out[0])
+                lmks.append(out[1])
+            break
+
+    if boxes:
+        return img, np.stack(boxes), np.stack(lmks)
+    return (img, np.zeros((0, 4), np.float32), np.zeros((0, 5, 2), np.float32))
+
+
+# ---------------------------------------------------------------------------
+# dataset writers
+# ---------------------------------------------------------------------------
+
+def write_detection_dataset(directory, n_images, shape=(256, 256), seed=0,
+                            min_face=24, max_face=None, empty_frac=0.1):
+    """Scenes + JSONL annotations consumable by apps/train_detector.py.
+
+    :returns: path to the annotations.jsonl file
+    """
+    from PIL import Image
+
+    directory = Path(str(directory)).expanduser()
+    directory.mkdir(parents=True, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    ann_path = directory / 'annotations.jsonl'
+
+    with ann_path.open('w') as f:
+        for i in range(int(n_images)):
+            n_faces = 0 if rng.rand() < empty_frac else rng.randint(1, 4)
+            img, boxes, lmks = render_scene(rng, shape=shape, n_faces=n_faces,
+                                            min_face=min_face,
+                                            max_face=max_face)
+            name = f'scene_{i:05d}.png'
+            Image.fromarray(img).save(directory / name)
+            f.write(json.dumps({
+                'image': name,
+                'boxes': np.round(boxes, 2).tolist(),
+                'landmarks': np.round(lmks, 2).tolist() if len(lmks) else [],
+            }) + '\n')
+    return ann_path
+
+
+def write_identity_dataset(directory, n_classes, images_per_class, size=160,
+                           seed=0, class_prefix='person'):
+    """Directory-per-class aligned crops, readable by `dataset.Database`."""
+    from PIL import Image
+
+    directory = Path(str(directory)).expanduser()
+    directory.mkdir(parents=True, exist_ok=True)
+    rng = np.random.RandomState(seed)
+
+    for c in range(int(n_classes)):
+        cls_dir = directory / f'{class_prefix}_{c:04d}'
+        cls_dir.mkdir(exist_ok=True)
+        ident = identity_params(c)
+        for i in range(int(images_per_class)):
+            img = render_face_patch(size, ident, rng)
+            Image.fromarray(img).save(cls_dir / f'{class_prefix}_{c:04d}'
+                                                f'_{i:04d}.png')
+    return directory

@@ -1,0 +1,101 @@
+"""Quality gate for the bundled detector weights.
+
+The reference delivers working detection only via the pretrained pip
+`mtcnn` package (ref detectors/face_detector.py:63-66). The rebuild ships
+its own weight bundles trained on the synthetic face dataset
+(tools/train_synthetic_detectors.py); these tests keep them honest:
+`FaceDetector()` out of the box must find >=90% of held-out synthetic
+faces at IoU >= 0.5, and the extract_faces app must produce real crops.
+
+Everything is deterministic (fixed render seeds, committed weights), so
+the thresholds are gates, not flaky statistics.
+"""
+
+import numpy as np
+import pytest
+import yaml
+from click.testing import CliRunner
+from pathlib import Path
+from PIL import Image
+
+from facenet_tpu.detectors import evaluation, pretrained
+from facenet_tpu.utils.synthetic import render_scene
+
+SHAPE = (256, 256)
+
+
+def _held_out_scenes(n, seed):
+    rng = np.random.RandomState(seed)
+    return [render_scene(rng, shape=SHAPE, n_faces=rng.randint(1, 4),
+                         min_face=32, max_face=160) for _ in range(n)]
+
+
+def _gate(detector_name, recall_floor, iou_floor, precision_floor):
+    from facenet_tpu.detectors.face_detector import FaceDetector
+
+    scenes = _held_out_scenes(32, seed=555)
+    fd = FaceDetector(detector=detector_name, image_shape=SHAPE)
+    m = evaluation.evaluate_detector(fd, [s[0] for s in scenes],
+                                     [s[1] for s in scenes],
+                                     iou_threshold=0.5, batch_size=16)
+    assert m['recall'] >= recall_floor, m
+    assert m['precision'] >= precision_floor, m
+    assert m['mean_iou'] >= iou_floor, m
+    return m
+
+
+@pytest.mark.skipif(pretrained.bundled_path('mtcnn') is None,
+                    reason='mtcnn bundle not built')
+def test_bundled_mtcnn_quality():
+    _gate('mtcnn', recall_floor=0.90, iou_floor=0.5, precision_floor=0.85)
+
+
+@pytest.mark.skipif(pretrained.bundled_path('frcnnv3') is None,
+                    reason='frcnn bundle not built')
+def test_bundled_frcnn_quality():
+    _gate('frcnnv3', recall_floor=0.90, iou_floor=0.5, precision_floor=0.85)
+
+
+@pytest.mark.skipif(pretrained.bundled_path('mtcnn') is None,
+                    reason='mtcnn bundle not built')
+def test_extract_faces_crops_real_faces(tmp_path):
+    """End-to-end: the app, with default (bundled) weights, crops actual
+    faces from a synthetic dataset — the 'works out of the box' contract
+    the reference gets from its pretrained pip dependency."""
+    from facenet_tpu.apps.extract_faces import main
+
+    raw = tmp_path / 'raw'
+    rng = np.random.RandomState(77)
+    n_images = 0
+    for c in range(2):
+        d = raw / f'p{c:02d}'
+        d.mkdir(parents=True)
+        for i in range(4):
+            img, boxes, _ = render_scene(rng, shape=(200, 220), n_faces=1,
+                                         min_face=60, max_face=140)
+            Image.fromarray(img).save(d / f'{i}.png')
+            n_images += 1
+
+    cfg = {
+        'dataset': {'path': str(raw)},
+        'outdir': str(tmp_path / 'out'),
+        'detector': 'mtcnn',
+        # margin is a box-relative fraction (ref face_detector.py:9-26)
+        'image': {'size': 160, 'margin': 0.2},
+        'detect_multiple_faces': False,
+    }
+    cfg_file = tmp_path / 'extract.yaml'
+    cfg_file.write_text(yaml.safe_dump(cfg))
+
+    result = CliRunner().invoke(main, ['--config', str(cfg_file)])
+    assert result.exit_code == 0, result.output
+
+    crops = list((tmp_path / 'out').glob('p*/*.png'))
+    assert len(crops) >= int(0.85 * n_images), \
+        f'only {len(crops)}/{n_images} faces extracted'
+
+    # crops must actually contain the face: the synthetic skin/feature
+    # palette is far from the dim noise background, so a correct crop has
+    # much higher brightness variance than a random background patch
+    arr = np.asarray(Image.open(crops[0]).convert('RGB'), np.float32)
+    assert arr.std() > 20, 'crop looks like background noise'

@@ -1,0 +1,202 @@
+"""Train the bundled detector weights on the synthetic face dataset.
+
+Produces the committed weight bundles that make `FaceDetector()` work out
+of the box (the reference only achieves this by depending on the
+pretrained pip `mtcnn` package — reference detectors/face_detector.py:63-66):
+
+    python tools/train_synthetic_detectors.py --detector mtcnn
+    python tools/train_synthetic_detectors.py --detector frcnnv3
+
+Pipeline per detector:
+  1. render a pool of synthetic scenes (facenet_tpu/utils/synthetic.py),
+  2. train (MTCNN: stage-wise P/R/O with OHEM via train/mtcnn.py;
+     FRCNN: joint two-stage via detectors/frcnn/detector.py),
+  3. evaluate recall / precision / IoU on HELD-OUT scenes
+     (detectors/evaluation.py),
+  4. if the gate passes (recall >= 0.9 @ IoU 0.5), save the bundle as
+     float16 npz under facenet_tpu/detectors/weights/.
+
+Training runs on whatever jax.devices() provides (the real TPU chip under
+axon; CPU elsewhere) — the nets are small, so either works.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from facenet_tpu.detectors import evaluation, pretrained
+from facenet_tpu.utils.synthetic import render_scene
+
+SCENE_SHAPE = (256, 256)
+MIN_FACE, MAX_FACE = 24, 180
+GATE_RECALL = 0.90
+GATE_IOU = 0.5
+
+
+def scene_pool(n, seed, empty_frac=0.1):
+    rng = np.random.RandomState(seed)
+    scenes = []
+    for _ in range(n):
+        n_faces = 0 if rng.rand() < empty_frac else rng.randint(1, 4)
+        scenes.append(render_scene(rng, shape=SCENE_SHAPE, n_faces=n_faces,
+                                   min_face=MIN_FACE, max_face=MAX_FACE))
+    return scenes
+
+
+def crop_pool(scenes, out_size, seed, with_landmarks):
+    """All training crops for one cascade stage, concatenated."""
+    from facenet_tpu.train.mtcnn import generate_training_crops
+
+    rng = np.random.RandomState(seed)
+    parts = None
+    for img, boxes, lmks in scenes:
+        sample = generate_training_crops(
+            img, boxes, out_size, rng,
+            gt_landmarks=lmks if (with_landmarks and len(lmks)) else None)
+        if parts is None:
+            parts = [[a] for a in sample]
+        else:
+            for lst, a in zip(parts, sample):
+                lst.append(a)
+    return [np.concatenate(lst) for lst in parts]
+
+
+def batches_from_pool(pool, batch_size, steps, seed):
+    """Shuffled fixed-size batches resampled from the crop pool."""
+    rng = np.random.RandomState(seed)
+    n = len(pool[0])
+
+    def factory():
+        for _ in range(steps):
+            idx = rng.randint(0, n, batch_size)
+            yield tuple(a[idx] for a in pool)
+    return factory
+
+
+def train_mtcnn(scenes, steps, batch_size, lr, seed=0):
+    from facenet_tpu.train.mtcnn import MTCNNTrainer
+
+    params = {}
+    for i, net in enumerate(('pnet', 'rnet', 'onet')):
+        trainer = MTCNNTrainer(net=net, learning_rate=lr)
+        pool = crop_pool(scenes, trainer.size, seed=seed + i,
+                         with_landmarks=(net == 'onet'))
+        print(f'{net}: {len(pool[0])} crops '
+              f'(types: {np.bincount(pool[4], minlength=4).tolist()})')
+        state = trainer.init_state(seed=seed)
+        t0 = time.time()
+        state, metrics = trainer.train(
+            state,
+            batches_from_pool(pool, batch_size, steps, seed=seed + 10 + i),
+            epochs=1, log_every=max(steps // 4, 1))
+        print(f'{net}: {steps} steps in {time.time() - t0:.1f}s  final ' +
+              ' '.join(f'{k}={v:.4f}' for k, v in metrics.items()))
+        params[net] = state['params']
+    return params
+
+
+def train_frcnn(scenes, steps, batch_size, lr, seed=0):
+    import optax
+
+    from facenet_tpu.detectors.frcnn.detector import (FasterRCNN,
+                                                      FasterRCNNTrainer)
+
+    det = FasterRCNN(image_shape=SCENE_SHAPE)
+    # warmup + cosine decay: the constant-LR run plateaued with noisy
+    # head_cls (recall 0.60 at 1.5k steps); decaying the tail converges it
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=lr,
+        warmup_steps=max(steps // 20, 50), decay_steps=steps,
+        end_value=lr * 0.01)
+    trainer = FasterRCNNTrainer(det, learning_rate=schedule)
+    state = trainer.init_state(seed=seed)
+    rng = np.random.RandomState(seed + 1)
+
+    t0 = time.time()
+    for n in range(steps):
+        idx = rng.randint(0, len(scenes), batch_size)
+        images = np.stack([scenes[i][0] for i in idx])
+        gts = [scenes[i][1] for i in idx]
+        state, metrics = trainer.train_step(state, images, gts)
+        if (n + 1) % max(steps // 8, 1) == 0:
+            print(f'frcnn step {n + 1}/{steps}: ' +
+                  ' '.join(f'{k}={float(v):.4f}' for k, v in metrics.items()),
+                  flush=True)
+    print(f'frcnn: {steps} steps in {time.time() - t0:.1f}s')
+    return state['params']
+
+
+def evaluate(detector_name, params, held_out):
+    from facenet_tpu.detectors.face_detector import FaceDetector
+
+    fd = FaceDetector(detector=detector_name, image_shape=SCENE_SHAPE,
+                      params=params)
+    images = [s[0] for s in held_out]
+    gts = [s[1] for s in held_out]
+    return evaluation.evaluate_detector(fd, images, gts,
+                                        iou_threshold=GATE_IOU)
+
+
+def to_f16(params):
+    import jax
+    return jax.tree_util.tree_map(
+        lambda a: np.asarray(a, np.float16), jax.device_get(params))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--detector', default='mtcnn',
+                    choices=['mtcnn', 'frcnnv3', 'both'])
+    ap.add_argument('--scenes', type=int, default=600)
+    ap.add_argument('--steps', type=int, default=2000)
+    ap.add_argument('--batch-size', type=int, default=256)
+    ap.add_argument('--lr', type=float, default=1e-3)
+    ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--out', type=Path, default=pretrained.PRETRAINED_DIR)
+    ap.add_argument('--force', action='store_true',
+                    help='save the bundle even if the quality gate fails')
+    args = ap.parse_args()
+
+    print(f'rendering {args.scenes} train + 64 held-out scenes...', flush=True)
+    t0 = time.time()
+    train_scenes = scene_pool(args.scenes, seed=args.seed)
+    held_out = scene_pool(64, seed=990 + args.seed)
+    print(f'rendered in {time.time() - t0:.1f}s')
+
+    jobs = (['mtcnn', 'frcnnv3'] if args.detector == 'both'
+            else [args.detector])
+    for name in jobs:
+        if name == 'mtcnn':
+            params = train_mtcnn(train_scenes, args.steps, args.batch_size,
+                                 args.lr, seed=args.seed)
+        else:
+            params = train_frcnn(train_scenes, args.steps,
+                                 min(args.batch_size, 8), args.lr,
+                                 seed=args.seed)
+
+        metrics = evaluate(name, params, held_out)
+        print(f'{name} held-out: ' +
+              ' '.join(f'{k}={v:.4f}' if isinstance(v, float) else f'{k}={v}'
+                       for k, v in metrics.items()))
+
+        passed = (metrics['recall'] >= GATE_RECALL)
+        if not passed and not args.force:
+            raise SystemExit(
+                f'{name}: quality gate FAILED (recall {metrics["recall"]:.3f}'
+                f' < {GATE_RECALL}) — bundle not saved')
+        out = args.out / pretrained.BUNDLED[name]
+        pretrained.save_params(out, to_f16(params))
+        size = out.stat().st_size / 1e6
+        print(f'{name}: saved {out} ({size:.1f} MB) '
+              f'gate={"PASS" if passed else "FORCED"}')
+
+
+if __name__ == '__main__':
+    main()
