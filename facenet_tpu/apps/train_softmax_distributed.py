@@ -32,6 +32,12 @@ def main(**options):
         import jax
         dist = raw.distributed
 
+        # pin the backend platform BEFORE distributed init (the env var
+        # route is unreliable under plugin backends — CLAUDE.md); used by
+        # the single-process multi-host smoke test to stay on CPU
+        if dist.platform:
+            jax.config.update('jax_platforms', str(dist.platform))
+
         kwargs = {}
         if dist.coordinator_address:
             kwargs['coordinator_address'] = str(dist.coordinator_address)

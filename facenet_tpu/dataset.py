@@ -516,7 +516,17 @@ class PKPipeline:
                                        idx))
                 yield np.stack(images), labels
 
+    # iterator protocol (the reference API hands out a generator, so
+    # callers use next() directly; ref train_classifier.py:99)
     def __iter__(self):
+        return self
+
+    def __next__(self):
+        if getattr(self, '_iter', None) is None:
+            self._iter = self._counting_iter()
+        return next(self._iter)
+
+    def _counting_iter(self):
         for item in self._raw_iter():
             self._batch += 1
             yield item

@@ -1,0 +1,266 @@
+"""Fused inference fast path for Inception-ResNet-v1.
+
+Serving-time reformulation of `models/inception_resnet_v1.py` (the
+training source of truth). Two exact transformations, applied once per
+parameter set:
+
+  1. **BN folding** — Conv(no bias) + BatchNorm(center-only) collapses to
+     Conv + bias:  W' = W / sqrt(var + eps),  b = beta - mean / sqrt(var
+     + eps). The reference does the same fold when exporting per-layer h5
+     weights (reference tfutils.py:238-258); here it feeds the live
+     serving path.
+  2. **Branch-head fusion** — each inception block applies several 1x1
+     convs to the SAME input (three 32-channel heads in Block35, two
+     128s in Block17, two 192s in Block8, three 256s in ReductionB).
+     Concatenated along the output axis they become ONE conv with 3-6x
+     the output width: identical arithmetic, but the MXU sees N=96..768
+     instead of N=32..256 lanes, and XLA launches one conv instead of
+     2-3.
+
+The result is bit-compatible with `model.apply(..., train=False)` up to
+bf16 rounding (tests/test_irv1_fast.py asserts closeness), and is the
+path `bench.py` and the serving runtime use. Works for any IRv1 config
+(repeats / output size); raises KeyError on a non-IRv1 parameter tree.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from facenet_tpu.models.inception_resnet_v1 import BN_EPS, check_input_config
+from facenet_tpu.ops.preprocessing import image_processing
+
+_DN = ('NHWC', 'HWIO', 'NHWC')
+
+
+def _fold(tree_p, tree_s):
+    """Fold one ConvBnRelu's BN into (kernel, bias) — both float32."""
+    w = np.asarray(tree_p['conv']['kernel'], np.float32)
+    beta = np.asarray(tree_p['bn']['bias'], np.float32)
+    mean = np.asarray(tree_s['bn']['mean'], np.float32)
+    var = np.asarray(tree_s['bn']['var'], np.float32)
+    s = 1.0 / np.sqrt(var + BN_EPS)
+    return w * s, beta - mean * s
+
+
+def _concat_folded(parts):
+    """Concatenate (kernel, bias) pairs along the output-channel axis."""
+    ks = [k for k, _ in parts]
+    bs = [b for _, b in parts]
+    return np.concatenate(ks, axis=3), np.concatenate(bs, axis=0)
+
+
+def build_fast_params(variables, config=None, dtype=jnp.bfloat16):
+    """Fold + fuse a trained IRv1 variable tree into the fast-path params.
+
+    :param variables: {'params': ..., 'batch_stats': ...} of the BACKBONE
+        (as stored by export.save_model)
+    :returns: (params pytree of jnp arrays, cfg) for `fast_forward`
+    """
+    p, s = variables['params'], variables['batch_stats']
+    cfg = check_input_config(config)
+    out = {}
+
+    def conv(name):
+        k, b = _fold(p[name], s[name])
+        return {'k': k, 'b': b}
+
+    for name in ('Conv2d_1a_3x3', 'Conv2d_2a_3x3', 'Conv2d_2b_3x3',
+                 'Conv2d_3b_1x1', 'Conv2d_4a_3x3', 'Conv2d_4b_3x3'):
+        out[name] = conv(name)
+
+    def fused_heads(block, names):
+        k, b = _concat_folded([_fold(p[block][n], s[block][n])
+                               for n in names])
+        return {'k': k, 'b': b}
+
+    def plain(block, name):
+        k, b = _fold(p[block][name], s[block][name])
+        return {'k': k, 'b': b}
+
+    for i in range(int(cfg.block35.repeat)):
+        blk = f'Repeat.block35_{i + 1}'
+        out[blk] = {
+            'heads': fused_heads(blk, ['Branch_0.Conv2d_1x1',
+                                       'Branch_1.Conv2d_0a_1x1',
+                                       'Branch_2.Conv2d_0a_1x1']),
+            'b1b': plain(blk, 'Branch_1.Conv2d_0b_3x3'),
+            'b2b': plain(blk, 'Branch_2.Conv2d_0b_3x3'),
+            'b2c': plain(blk, 'Branch_2.Conv2d_0c_3x3'),
+            'up': {'k': np.asarray(p[blk]['Conv2d_1x1']['kernel'], np.float32),
+                   'b': np.asarray(p[blk]['Conv2d_1x1']['bias'], np.float32)},
+        }
+
+    ra = 'Mixed_6a'
+    out[ra] = {
+        'b0': plain(ra, 'Branch_0.Conv2d_1a_3x3'),
+        'b1a': plain(ra, 'Branch_1.Conv2d_0a_1x1'),
+        'b1b': plain(ra, 'Branch_1.Conv2d_0b_3x3'),
+        'b1c': plain(ra, 'Branch_1.Conv2d_1a_3x3'),
+    }
+
+    for i in range(int(cfg.block17.repeat)):
+        blk = f'Repeat_1.block17_{i + 1}'
+        out[blk] = {
+            'heads': fused_heads(blk, ['Branch_0.Conv2d_1x1',
+                                       'Branch_1.Conv2d_0a_1x1']),
+            'b1b': plain(blk, 'Branch_1.Conv2d_0b_1x7'),
+            'b1c': plain(blk, 'Branch_1.Conv2d_0c_7x1'),
+            'up': {'k': np.asarray(p[blk]['Conv2d_1x1']['kernel'], np.float32),
+                   'b': np.asarray(p[blk]['Conv2d_1x1']['bias'], np.float32)},
+        }
+
+    rb = 'Mixed_7a'
+    out[rb] = {
+        'heads': fused_heads(rb, ['Branch_0.Conv2d_0a_1x1',
+                                  'Branch_1.Conv2d_0a_1x1',
+                                  'Branch_2.Conv2d_0a_1x1']),
+        'b0b': plain(rb, 'Branch_0.Conv2d_1a_3x3'),
+        'b1b': plain(rb, 'Branch_1.Conv2d_1a_3x3'),
+        'b2b': plain(rb, 'Branch_2.Conv2d_0b_3x3'),
+        'b2c': plain(rb, 'Branch_2.Conv2d_1a_3x3'),
+    }
+
+    n8 = int(cfg.block8_1.repeat)
+    for i in range(n8 + 1):
+        blk = 'Block8' if i == n8 else f'Repeat_2.block8_{i + 1}'
+        out[blk] = {
+            'heads': fused_heads(blk, ['Branch_0.Conv2d_1x1',
+                                       'Branch_1.Conv2d_0a_1x1']),
+            'b1b': plain(blk, 'Branch_1.Conv2d_0b_1x3'),
+            'b1c': plain(blk, 'Branch_1.Conv2d_0c_3x1'),
+            'up': {'k': np.asarray(p[blk]['Conv2d_1x1']['kernel'], np.float32),
+                   'b': np.asarray(p[blk]['Conv2d_1x1']['bias'], np.float32)},
+        }
+
+    # Bottleneck dense + its BN fold into one biased matmul
+    kb = np.asarray(p['Bottleneck']['kernel'], np.float32)
+    beta = np.asarray(p['Bottleneck.bn']['bias'], np.float32)
+    mean = np.asarray(s['Bottleneck.bn']['mean'], np.float32)
+    var = np.asarray(s['Bottleneck.bn']['var'], np.float32)
+    sc = 1.0 / np.sqrt(var + BN_EPS)
+    out['Bottleneck'] = {'k': kb * sc, 'b': beta - mean * sc}
+
+    out = jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype), out)
+    return out, cfg
+
+
+def _conv(x, w, stride=1, padding='SAME'):
+    return jax.lax.conv_general_dilated(
+        x, w['k'], window_strides=(stride, stride), padding=padding,
+        dimension_numbers=_DN) + w['b']
+
+
+def _crelu(x, w, stride=1, padding='SAME'):
+    return jax.nn.relu(_conv(x, w, stride, padding))
+
+
+def fast_forward(params, cfg, images, image_size=160, normalization=0,
+                 dtype=jnp.bfloat16, normalize=True):
+    """Fused inference forward: uint8/float images -> [B, 512] embeddings.
+
+    Same contract as InceptionResnetV1.__call__(train=False): in-model
+    preprocessing, L2-normalized float32 output (eps 1e-10).
+    """
+    x = image_processing(images, image_size, normalization, dtype=dtype)
+
+    x = _crelu(x, params['Conv2d_1a_3x3'], 2, 'VALID')
+    x = _crelu(x, params['Conv2d_2a_3x3'], 1, 'VALID')
+    x = _crelu(x, params['Conv2d_2b_3x3'], 1, 'VALID')
+    x = jax.lax.reduce_window(
+        x, -jnp.inf if x.dtype == jnp.float32 else jnp.finfo(x.dtype).min,
+        jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), 'VALID')
+    x = _crelu(x, params['Conv2d_3b_1x1'], 1, 'VALID')
+    x = _crelu(x, params['Conv2d_4a_3x3'], 1, 'VALID')
+    x = _crelu(x, params['Conv2d_4b_3x3'], 2, 'VALID')
+
+    scale35 = jnp.asarray(float(cfg.block35.scale), dtype)
+    for i in range(int(cfg.block35.repeat)):
+        w = params[f'Repeat.block35_{i + 1}']
+        heads = _crelu(x, w['heads'])                      # [.., 96]
+        t0, t1, t2 = heads[..., :32], heads[..., 32:64], heads[..., 64:96]
+        t1 = _crelu(t1, w['b1b'])
+        t2 = _crelu(_crelu(t2, w['b2b']), w['b2c'])
+        up = _conv(jnp.concatenate([t0, t1, t2], axis=3), w['up'])
+        x = jax.nn.relu(x + scale35 * up)
+
+    w = params['Mixed_6a']
+    t0 = _crelu(x, w['b0'], 2, 'VALID')
+    t1 = _crelu(_crelu(_crelu(x, w['b1a']), w['b1b']), w['b1c'], 2, 'VALID')
+    tp = jax.lax.reduce_window(
+        x, jnp.finfo(x.dtype).min, jax.lax.max,
+        (1, 3, 3, 1), (1, 2, 2, 1), 'VALID')
+    x = jnp.concatenate([t0, t1, tp], axis=3)
+
+    scale17 = jnp.asarray(float(cfg.block17.scale), dtype)
+    for i in range(int(cfg.block17.repeat)):
+        w = params[f'Repeat_1.block17_{i + 1}']
+        heads = _crelu(x, w['heads'])                      # [.., 256]
+        t0, t1 = heads[..., :128], heads[..., 128:]
+        t1 = _crelu(_crelu(t1, w['b1b']), w['b1c'])
+        up = _conv(jnp.concatenate([t0, t1], axis=3), w['up'])
+        x = jax.nn.relu(x + scale17 * up)
+
+    w = params['Mixed_7a']
+    heads = _crelu(x, w['heads'])                          # [.., 768]
+    h0, h1, h2 = heads[..., :256], heads[..., 256:512], heads[..., 512:]
+    t0 = _crelu(h0, w['b0b'], 2, 'VALID')
+    t1 = _crelu(h1, w['b1b'], 2, 'VALID')
+    t2 = _crelu(_crelu(h2, w['b2b']), w['b2c'], 2, 'VALID')
+    tp = jax.lax.reduce_window(
+        x, jnp.finfo(x.dtype).min, jax.lax.max,
+        (1, 3, 3, 1), (1, 2, 2, 1), 'VALID')
+    x = jnp.concatenate([t0, t1, t2, tp], axis=3)
+
+    n8 = int(cfg.block8_1.repeat)
+    for i in range(n8 + 1):
+        final = i == n8
+        blk = 'Block8' if final else f'Repeat_2.block8_{i + 1}'
+        w = params[blk]
+        heads = _crelu(x, w['heads'])                      # [.., 384]
+        t0, t1 = heads[..., :192], heads[..., 192:]
+        t1 = _crelu(_crelu(t1, w['b1b']), w['b1c'])
+        up = _conv(jnp.concatenate([t0, t1], axis=3), w['up'])
+        scale = float(cfg.block8_2.scale if final else cfg.block8_1.scale)
+        act = cfg.block8_2.activation if final else cfg.block8_1.activation
+        x = x + jnp.asarray(scale, dtype) * up
+        if act:
+            x = jax.nn.relu(x)
+
+    # head: avg pool 3x3/3 VALID -> flatten -> folded dense+BN
+    x = jax.lax.reduce_window(
+        x, jnp.zeros((), x.dtype), jax.lax.add,
+        (1, 3, 3, 1), (1, 3, 3, 1), 'VALID') / jnp.asarray(9.0, x.dtype)
+    x = x.reshape((x.shape[0], -1))
+    w = params['Bottleneck']
+    x = (jnp.dot(x, w['k'], preferred_element_type=jnp.float32) +
+         w['b'].astype(jnp.float32))
+
+    if normalize:
+        norm = jnp.sqrt(jnp.maximum(
+            jnp.sum(jnp.square(x), axis=1, keepdims=True), 1e-10))
+        x = x / norm
+    return x
+
+
+class FastEmbedder:
+    """Jitted fused forward bound to one trained parameter set."""
+
+    def __init__(self, variables, config=None, image_size=160,
+                 normalization=0, dtype=jnp.bfloat16):
+        self.params, self.cfg = build_fast_params(variables, config, dtype)
+        self.image_size = int(image_size)
+        self.normalization = int(normalization)
+        cfg = self.cfg
+
+        def fwd(params, images):
+            return fast_forward(params, cfg, images, self.image_size,
+                                self.normalization, dtype)
+        self._fwd = jax.jit(fwd)
+
+    def __call__(self, images):
+        return self._fwd(self.params, images)

@@ -109,13 +109,10 @@ def train_frcnn(scenes, steps, batch_size, lr, seed=0):
                                                       FasterRCNNTrainer)
 
     det = FasterRCNN(image_shape=SCENE_SHAPE)
-    # warmup + cosine decay: the constant-LR run plateaued with noisy
-    # head_cls (recall 0.60 at 1.5k steps); decaying the tail converges it
-    schedule = optax.warmup_cosine_decay_schedule(
-        init_value=0.0, peak_value=lr,
-        warmup_steps=max(steps // 20, 50), decay_steps=steps,
-        end_value=lr * 0.01)
-    trainer = FasterRCNNTrainer(det, learning_rate=schedule)
+    # constant 1e-3 is the proven recipe (3000 steps -> recall 0.98 on
+    # held-out); 2e-3 destabilized training (with cosine decay it collapsed
+    # to zero predictions; measured negative results, round 2)
+    trainer = FasterRCNNTrainer(det, learning_rate=lr)
     state = trainer.init_state(seed=seed)
     rng = np.random.RandomState(seed + 1)
 
