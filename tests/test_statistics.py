@@ -131,3 +131,39 @@ def test_validation_report_files(tmp_path, clustered_embeddings):
     validation.write_h5file(h5)
     from facenet_tpu import h5utils
     assert h5utils.read(h5, 'MaximumAccuracy/accuracy').size == 1
+
+
+def test_similarity_calculator_evaluate_agrees_with_device_path(
+        clustered_embeddings):
+    """The per-class-pair probe `evaluate(i, k)` carries the same equal-
+    class-pair weighting the device histogram path uses: reconstructing
+    the confusion rates from the probe must reproduce ConfidenceMatrix."""
+    embs, labels = clustered_embeddings
+    calc = statistics.SimilarityCalculator(embs, labels, metric=0)
+    c = calc.nrof_classes
+
+    # the weights sum to 1 over positive blocks and 1 over negative blocks
+    total = 0.0
+    for i in range(c):
+        for k in range(i, c):
+            dists, weight = calc.evaluate(i, k)
+            total += dists.size / weight
+    np.testing.assert_allclose(total, 2.0, rtol=1e-12)
+
+    thresholds = np.linspace(0.0, 4.0, 9)
+    m = statistics.ConfidenceMatrix(calc, thresholds)
+
+    tp = np.zeros_like(thresholds)
+    tn = np.zeros_like(thresholds)
+    for i in range(c):
+        for k in range(i, c):
+            dists, weight = calc.evaluate(i, k)
+            flat = np.asarray(dists).ravel()
+            below = (flat[None, :] < thresholds[:, None]).sum(axis=1)
+            if i == k:
+                tp += below / weight
+            else:
+                tn += (flat.size - below) / weight
+
+    np.testing.assert_allclose(tp, m.tp, atol=1e-5)
+    np.testing.assert_allclose(tn, m.tn, atol=1e-5)
