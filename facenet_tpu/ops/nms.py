@@ -85,25 +85,60 @@ def nms_mask(boxes, scores, valid, iou_threshold, mode='union'):
     return keep
 
 
-def batched_nms_mask(boxes, scores, valid, iou_threshold, mode='union'):
-    """vmap of nms_mask over a leading batch dimension."""
-    fn = partial(nms_mask, iou_threshold=iou_threshold, mode=mode)
+def nms_mask_fast(boxes, scores, valid, iou_threshold, mode='union'):
+    """One-shot matrix NMS (no sequential loop); returns a keep mask [K].
+
+    A box is dropped when ANY higher-scored valid box overlaps it — the
+    "Fast NMS" relaxation (Bolya et al. 2019, YOLACT): unlike greedy NMS
+    the suppressor may itself be suppressed, so this suppresses a superset
+    of greedy's victims. That is fine for CANDIDATE pruning between
+    cascade stages (the next net re-scores survivors); final outputs
+    should use the exact greedy `nms_mask`. One VPU matrix pass instead
+    of K sequential loop steps — the P-Net stage runs 10+ of these per
+    batch, where greedy's K-step fori_loop dominated the stage profile.
+    """
+    k = boxes.shape[0]
+    iou = iou_matrix(boxes, mode=mode)
+    s = jnp.where(valid, scores, -jnp.inf)
+    # j suppresses i iff score_j > score_i (ties: lower index wins)
+    higher = (s[:, None] > s[None, :]) | (
+        (s[:, None] == s[None, :]) &
+        (jnp.arange(k)[:, None] < jnp.arange(k)[None, :]))
+    suppressed = jnp.any(higher & (iou > iou_threshold) &
+                         valid[:, None], axis=0)
+    return valid & ~suppressed
+
+
+def batched_nms_mask(boxes, scores, valid, iou_threshold, mode='union',
+                     algorithm='greedy'):
+    """vmap of nms_mask (or nms_mask_fast) over a leading batch dimension."""
+    fn = partial(nms_mask_fast if algorithm == 'fast' else nms_mask,
+                 iou_threshold=iou_threshold, mode=mode)
     return jax.vmap(fn)(boxes, scores, valid)
 
 
-def top_k_boxes(boxes, scores, valid, k):
+def top_k_boxes(boxes, scores, valid, k, approx=False):
     """Select the top-k valid boxes by score into fixed [k, 4] buffers.
 
     Works for k > len(scores) too: outputs pad with invalid entries (small
     image geometries can yield fewer pyramid proposals than the capacity,
     and jax.lax.top_k requires k <= axis size).
 
+    With approx=True, uses the TPU-optimized `jax.lax.approx_max_k`
+    (recall target 0.95) — appropriate for candidate pre-selection where
+    an occasional near-tied candidate swap is harmless; exact `top_k`
+    otherwise. approx_max_k is far cheaper than a full sort on the
+    tens-of-thousands-of-cells P-Net pyramid levels.
+
     Returns (boxes [k,4], scores [k], valid [k]).
     """
     n = scores.shape[0]
     kk = min(int(k), n)
     masked = jnp.where(valid, scores, -jnp.inf)
-    top_scores, idx = jax.lax.top_k(masked, kk)
+    if approx and kk < n:
+        top_scores, idx = jax.lax.approx_max_k(masked, kk)
+    else:
+        top_scores, idx = jax.lax.top_k(masked, kk)
     top_boxes = boxes[idx]
     top_valid = jnp.isfinite(top_scores)
     top_scores = jnp.where(top_valid, top_scores, 0.0)
