@@ -251,15 +251,17 @@ class FastEmbedder:
     """Jitted fused forward bound to one trained parameter set."""
 
     def __init__(self, variables, config=None, image_size=160,
-                 normalization=0, dtype=jnp.bfloat16):
+                 normalization=0, dtype=jnp.bfloat16, normalize=True):
         self.params, self.cfg = build_fast_params(variables, config, dtype)
         self.image_size = int(image_size)
         self.normalization = int(normalization)
+        self.normalize = bool(normalize)
         cfg = self.cfg
 
         def fwd(params, images):
             return fast_forward(params, cfg, images, self.image_size,
-                                self.normalization, dtype)
+                                self.normalization, dtype,
+                                normalize=self.normalize)
         self._fwd = jax.jit(fwd)
 
     def __call__(self, images):

@@ -72,3 +72,32 @@ def test_fast_path_default_config():
     assert 'Repeat_1.block17_10' in params
     assert 'Block8' in params
     assert params['Mixed_7a']['heads']['k'].shape[3] == 768
+
+
+def test_facenet_serving_uses_fast_path(tmp_path):
+    """FaceNet (the serving class) routes IRv1 bundles through the fused
+    path and its embeddings match the Flax model for both the normalized
+    output and the raw-bottleneck escape hatch."""
+    import facenet_tpu
+    from facenet_tpu import export
+    from facenet_tpu.config import Config
+    from facenet_tpu.models.inception_resnet_v1 import InceptionResnetV1
+    from facenet_tpu.models.irv1_fast import FastEmbedder
+
+    model = InceptionResnetV1(config=TINY)
+    images = np.random.RandomState(0).randint(
+        0, 256, (3, 160, 160, 3), dtype=np.uint8)
+    variables = model.init(jax.random.PRNGKey(0), images[:1], train=False)
+    export.save_model(tmp_path / 'bundle', model, variables)
+
+    for normalize in (True, False):
+        fn = facenet_tpu.FaceNet(Config({'path': str(tmp_path / 'bundle'),
+                                         'normalize': normalize}))
+        assert isinstance(fn._forward, FastEmbedder)
+        got = fn.image_to_embedding(images)
+        ref = np.asarray(model.apply(variables, images, train=False,
+                                     normalize=normalize))
+        if normalize:
+            assert (got * ref).sum(axis=1).min() > 0.999
+        else:
+            np.testing.assert_allclose(got, ref, atol=0.15, rtol=0.05)
