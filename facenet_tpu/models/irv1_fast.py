@@ -73,6 +73,25 @@ def build_fast_params(variables, config=None, dtype=jnp.bfloat16):
                  'Conv2d_3b_1x1', 'Conv2d_4a_3x3', 'Conv2d_4b_3x3'):
         out[name] = conv(name)
 
+    # Space-to-depth rewrite of the stride-2 stem conv: a 3x3/s2 conv on
+    # [160, 160, 3] is EXACTLY a 2x2/s1 conv on the 2x2-block-to-channel
+    # transform [80, 80, 12] — tap (a, b) plane (dy, dx) reads original
+    # offset (2a+dy, 2b+dx), zero where that exceeds the 3x3 support.
+    # Stride-1 convs map onto the MXU better than strided ones and the
+    # input rows halve (the standard TPU ResNet input trick).
+    k1, b1 = _fold(p['Conv2d_1a_3x3'], s['Conv2d_1a_3x3'])
+    cin = k1.shape[2]
+    k_s2d = np.zeros((2, 2, 4 * cin, k1.shape[3]), np.float32)
+    for a in range(2):
+        for b_ in range(2):
+            for dy in range(2):
+                for dx in range(2):
+                    ky, kx = 2 * a + dy, 2 * b_ + dx
+                    if ky <= 2 and kx <= 2:
+                        c0 = (dy * 2 + dx) * cin
+                        k_s2d[a, b_, c0:c0 + cin] = k1[ky, kx]
+    out['Conv2d_1a_s2d'] = {'k': k_s2d, 'b': b1}
+
     def fused_heads(block, names):
         k, b = _concat_folded([_fold(p[block][n], s[block][n])
                                for n in names])
@@ -168,7 +187,16 @@ def fast_forward(params, cfg, images, image_size=160, normalization=0,
     """
     x = image_processing(images, image_size, normalization, dtype=dtype)
 
-    x = _crelu(x, params['Conv2d_1a_3x3'], 2, 'VALID')
+    if 'Conv2d_1a_s2d' in params and x.shape[1] % 2 == 0 \
+            and x.shape[2] % 2 == 0:
+        # space-to-depth stem (see build_fast_params): [B,H,W,3] ->
+        # [B,H/2,W/2,12], then the rewritten 2x2/s1 conv
+        b, h, w, c = x.shape
+        xs = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        x = jax.nn.relu(_conv(xs, params['Conv2d_1a_s2d'], 1, 'VALID'))
+    else:
+        x = _crelu(x, params['Conv2d_1a_3x3'], 2, 'VALID')
     x = _crelu(x, params['Conv2d_2a_3x3'], 1, 'VALID')
     x = _crelu(x, params['Conv2d_2b_3x3'], 1, 'VALID')
     x = jax.lax.reduce_window(
