@@ -148,3 +148,51 @@ def test_checkpoint_without_data_state_still_restores(tmp_path):
     mgr2.close()
     assert data_state is None
     np.testing.assert_array_equal(restored['x'], np.ones(3))
+
+
+def test_batchloader_resume_native_path(tmp_path):
+    """Resume correctness through the C++ native decode pipeline: the
+    cursor counts DELIVERED batches even with prefetch running ahead."""
+    from facenet_tpu import native
+    if not native.available():
+        pytest.skip('native library unavailable')
+
+    from PIL import Image
+
+    files = []
+    rng = np.random.RandomState(0)
+    for i in range(17):
+        # encode the file index in the red channel so batches identify rows
+        img = np.full((20, 20, 3), (i * 11) % 251, np.uint8)
+        path = tmp_path / f'f_{i:03d}.png'
+        Image.fromarray(img).save(path)
+        files.append(str(path))
+    labels = np.arange(17)
+    loader = dataset.ImageLoader(size=16)
+
+    def fresh(start_state=None):
+        return dataset.BatchLoader(files, labels, loader, batch_size=4,
+                                   shuffle=True, repeat=True, seed=5,
+                                   num_workers=2, prefetch=3,
+                                   start_state=start_state)
+
+    def ids(batch):
+        return batch[0][:, 0, 0, 0].tolist(), batch[1].tolist()
+
+    ref_it = iter(fresh())
+    ref = [ids(next(ref_it)) for _ in range(12)]
+    del ref_it
+
+    broken = fresh()
+    it = iter(broken)
+    got = [ids(next(it)) for _ in range(5)]
+    cursor = broken.state()
+    del it, broken
+
+    resumed = fresh(start_state=cursor)
+    it = iter(resumed)
+    for _ in range(7):
+        got.append(ids(next(it)))
+    del it
+
+    assert got == ref
