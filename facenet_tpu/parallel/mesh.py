@@ -76,6 +76,40 @@ def shard_batch(mesh, batch):
         lambda x: jax.device_put(x, sharding), batch)
 
 
+def place_global(x, sharding):
+    """Place a host array every process holds IN FULL onto a (possibly
+    multi-process) sharding.
+
+    Single-process this is jax.device_put. Multi-host, device_put cannot
+    address remote devices, so the global array is assembled from each
+    process's addressable shards via make_array_from_callback — each
+    process slices its own devices' pieces out of the (identical) host
+    value. Used for params / optimizer state, which every process
+    computes identically from the same seed.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding,
+                                        lambda idx: x[idx])
+
+
+def distribute_batch(mesh, local_batch, sharding=None):
+    """Form the global sharded batch from each process's LOCAL rows.
+
+    Single-process: plain device_put with the batch dim sharded over
+    'data'. Multi-host: every process loads only its slice of the global
+    batch (the standard JAX data-loading pattern) and
+    make_array_from_process_local_data assembles the global array —
+    global batch size = local batch size x process_count.
+    """
+    sharding = sharding or batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(local_batch, sharding)
+    return jax.make_array_from_process_local_data(
+        sharding, np.asarray(local_batch))
+
+
 def param_shardings(mesh, params):
     """Sharding tree for a param pytree: logits head sharded over 'model',
     everything else replicated (the 23.5M-param backbone fits every chip)."""

@@ -233,9 +233,12 @@ class SoftmaxTrainer:
         copies, no resharding inside the step)."""
         p_shard = mesh_mod.param_shardings(self.mesh, state.params)
         rep = mesh_mod.replicated(self.mesh)
+        # place_global == device_put single-process; multi-host it builds
+        # global arrays from each process's identical host copy
+        place = mesh_mod.place_global
 
         def put(tree, shardings):
-            return jax.tree_util.tree_map(jax.device_put, tree, shardings)
+            return jax.tree_util.tree_map(place, tree, shardings)
 
         pdef = jax.tree_util.tree_structure(state.params)
 
@@ -248,7 +251,7 @@ class SoftmaxTrainer:
         def place_opt(node):
             if params_like(node):
                 return put(node, p_shard)
-            return jax.device_put(node, rep)
+            return place(node, rep)
 
         opt_state = jax.tree_util.tree_map(
             place_opt, state.opt_state,
@@ -256,12 +259,13 @@ class SoftmaxTrainer:
 
         return state.replace(
             params=put(state.params, p_shard),
-            batch_stats=jax.device_put(state.batch_stats, rep),
+            batch_stats=jax.tree_util.tree_map(
+                lambda x: place(x, rep), state.batch_stats),
             opt_state=opt_state,
-            centers=(jax.device_put(state.centers, rep)
+            centers=(place(state.centers, rep)
                      if state.centers is not None else None),
-            rng=jax.device_put(state.rng, rep),
-            step=jax.device_put(state.step, rep),
+            rng=place(state.rng, rep),
+            step=place(state.step, rep),
         )
 
     # ------------------------------------------------------------------
@@ -304,8 +308,12 @@ class SoftmaxTrainer:
                 tracing = True
             timer.items_per_step = len(images)
             with timer:
-                images = jax.device_put(images, batch_shard)
-                labels = jax.device_put(labels, batch_shard)
+                # single-process: device_put; multi-host: each process
+                # contributes its local rows to the global batch
+                images = mesh_mod.distribute_batch(self.mesh, images,
+                                                   batch_shard)
+                labels = mesh_mod.distribute_batch(self.mesh, labels,
+                                                   batch_shard)
                 state, metrics = self.step_fn(state, images, labels)
             n += 1
             if tracing and n >= trace_start + trace_steps:
