@@ -308,8 +308,21 @@ class SoftmaxTrainer:
                 tracing = True
             timer.items_per_step = len(images)
             with timer:
-                # single-process: device_put; multi-host: each process
-                # contributes its local rows to the global batch
+                # single-process: device_put. Multi-host: every process's
+                # pipeline draws the IDENTICAL global batch (same seed and
+                # cursor), so each contributes its own contiguous slice
+                # and distribute_batch reassembles the global array —
+                # batch_size stays the GLOBAL batch size.
+                n_proc = jax.process_count()
+                if n_proc > 1:
+                    if len(images) % n_proc:
+                        raise ValueError(
+                            f'global batch {len(images)} not divisible by '
+                            f'{n_proc} processes')
+                    per = len(images) // n_proc
+                    lo = jax.process_index() * per
+                    images = images[lo:lo + per]
+                    labels = labels[lo:lo + per]
                 images = mesh_mod.distribute_batch(self.mesh, images,
                                                    batch_shard)
                 labels = mesh_mod.distribute_batch(self.mesh, labels,

@@ -10,6 +10,9 @@ two workers form an 8-device global mesh over jax.distributed. Modes:
            the process boundary — the DCN pattern) and each process
            contributes its local batch rows via
            parallel.mesh.distribute_batch.
+  epoch  — trainer.train_epoch with identical global batches on both
+           processes (the distributed app's flow: the epoch loop slices
+           each process's rows itself).
 """
 
 import sys
@@ -73,6 +76,20 @@ def main():
     images = rng.randint(0, 256, (8, 160, 160, 3), dtype=np.uint8)
     labels = rng.randint(0, 16, 8).astype(np.int32)
     lo, hi = (0, 4) if pid == 0 else (4, 8)  # this process's rows
+
+    if mode == 'epoch':
+        # the app-level flow: train_epoch receives the IDENTICAL global
+        # batch on every process and slices this process's rows itself
+        def batches():
+            for step in range(2):
+                yield images, labels
+
+        state, metrics = trainer.train_epoch(state, batches(), epoch=0,
+                                             log_every=0)
+        loss = metrics['loss']
+        assert np.isfinite(loss)
+        print(f'RESULT {loss:.6f}', flush=True)
+        return
 
     shard = mesh_mod.batch_sharding(mesh)
     g_images = mesh_mod.distribute_batch(mesh, images[lo:hi], shard)

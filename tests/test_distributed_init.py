@@ -71,6 +71,14 @@ def test_two_process_train_step():
     assert np.isfinite(r0) and r0 > 0
 
 
+def test_two_process_train_epoch():
+    """The app-level epoch loop under 2 processes: every process draws
+    the identical global batch and train_epoch slices its local rows."""
+    r0, r1 = _run_two_workers('epoch', timeout=840)
+    assert r0 == r1
+    assert np.isfinite(r0) and r0 > 0
+
+
 def test_distributed_initialize_single_process(tmp_path):
     # tiny 4-class dataset
     root = tmp_path / 'faces'
