@@ -50,6 +50,10 @@ def sharded_forward(forward_fn, mesh):
         if pad:
             images = np.concatenate(
                 [images, np.zeros((pad,) + images.shape[1:], images.dtype)])
+        # single-controller eval: device_put over the local mesh. (The
+        # TRAINING path is multi-host via mesh.distribute_batch; sharded
+        # eval stays one process per SURVEY §2.8 — the reference's eval is
+        # single-process numpy.)
         out = forward_fn(jax.device_put(images, sharding))
         return np.asarray(out)[:n]
 
