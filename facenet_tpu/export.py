@@ -128,10 +128,26 @@ def save_compiled(path, model, variables, platforms=('cpu', 'tpu')):
 
     variables = jax.device_get(variables)
 
-    def forward(images):
-        # uint8 in, L2-normalized f32 out — the serving contract
-        # (reference facenet/__init__.py:17-34 node contract)
-        return model.apply(variables, images, train=False)
+    # Inception-ResNet-v1 serializes the FUSED serving graph (BN folded,
+    # branch heads merged — models/irv1_fast.py, equivalence-tested), so
+    # the deployed artifact carries the fast computation; other models
+    # serialize their plain apply. uint8 in, L2-normalized f32 out — the
+    # serving contract (reference facenet/__init__.py:17-34).
+    forward = None
+    if type(model).__name__ == 'InceptionResnetV1':
+        try:
+            from facenet_tpu.models.irv1_fast import build_fast_params, \
+                fast_forward
+            fparams, fcfg = build_fast_params(variables, model.config)
+
+            def forward(images):
+                return fast_forward(fparams, fcfg, images, model.image_size,
+                                    model.normalization)
+        except Exception:
+            forward = None
+    if forward is None:
+        def forward(images):
+            return model.apply(variables, images, train=False)
 
     batch = jax_export.symbolic_shape('b')[0]
     spec = jax.ShapeDtypeStruct(
