@@ -103,8 +103,6 @@ def train_mtcnn(scenes, steps, batch_size, lr, seed=0):
 
 
 def train_frcnn(scenes, steps, batch_size, lr, seed=0):
-    import optax
-
     from facenet_tpu.detectors.frcnn.detector import (FasterRCNN,
                                                       FasterRCNNTrainer)
 
