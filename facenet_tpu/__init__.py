@@ -73,15 +73,20 @@ class FaceNet:
         model = self.model
         normalize = self.normalize
 
-        # Serve Inception-ResNet-v1 through the fused fast path (BN folded
-        # into conv biases, branch-head convs fused — models/irv1_fast.py;
-        # equivalence-tested, ~5% faster); anything else (IRv2, custom
-        # zoo models) uses the generic Flax apply.
+        # Serve both model families through their fused fast paths (BN
+        # folded into conv biases, branch-head convs fused —
+        # models/irv1_fast.py / irv2_fast.py; equivalence-tested); custom
+        # zoo models fall back to the generic Flax apply.
         self._forward = None
+        fast_cls = None
         if type(model).__name__ == 'InceptionResnetV1':
+            from facenet_tpu.models.irv1_fast import FastEmbedder as fast_cls
+        elif type(model).__name__ == 'InceptionResnetV2':
+            from facenet_tpu.models.irv2_fast import \
+                FastEmbedderV2 as fast_cls
+        if fast_cls is not None:
             try:
-                from facenet_tpu.models.irv1_fast import FastEmbedder
-                self._forward = FastEmbedder(
+                self._forward = fast_cls(
                     self.variables, config=model.config,
                     image_size=model.image_size,
                     normalization=model.normalization,

@@ -134,15 +134,20 @@ def save_compiled(path, model, variables, platforms=('cpu', 'tpu')):
     # serialize their plain apply. uint8 in, L2-normalized f32 out — the
     # serving contract (reference facenet/__init__.py:17-34).
     forward = None
+    fast_mod = None
     if type(model).__name__ == 'InceptionResnetV1':
+        from facenet_tpu.models import irv1_fast as fast_mod
+    elif type(model).__name__ == 'InceptionResnetV2':
+        from facenet_tpu.models import irv2_fast as fast_mod
+    if fast_mod is not None:
         try:
-            from facenet_tpu.models.irv1_fast import build_fast_params, \
-                fast_forward
-            fparams, fcfg = build_fast_params(variables, model.config)
+            fparams, fcfg = fast_mod.build_fast_params(variables,
+                                                       model.config)
 
             def forward(images):
-                return fast_forward(fparams, fcfg, images, model.image_size,
-                                    model.normalization)
+                return fast_mod.fast_forward(fparams, fcfg, images,
+                                             model.image_size,
+                                             model.normalization)
         except Exception:
             forward = None
     if forward is None:
