@@ -309,19 +309,25 @@ def write_detection_dataset(directory, n_images, shape=(256, 256), seed=0,
 
 def write_identity_dataset(directory, n_classes, images_per_class, size=160,
                            seed=0, class_prefix='person'):
-    """Directory-per-class aligned crops, readable by `dataset.Database`."""
+    """Directory-per-class aligned crops, readable by `dataset.Database`.
+
+    :param n_classes: class count (ids 0..n-1) or an iterable of explicit
+        identity ids (e.g. an offset range for held-out identities)
+    """
     from PIL import Image
 
     directory = Path(str(directory)).expanduser()
     directory.mkdir(parents=True, exist_ok=True)
     rng = np.random.RandomState(seed)
 
-    for c in range(int(n_classes)):
-        cls_dir = directory / f'{class_prefix}_{c:04d}'
+    class_ids = (range(int(n_classes)) if np.isscalar(n_classes)
+                 else list(n_classes))
+    for label, c in enumerate(class_ids):
+        cls_dir = directory / f'{class_prefix}_{label:04d}'
         cls_dir.mkdir(exist_ok=True)
         ident = identity_params(c)
         for i in range(int(images_per_class)):
             img = render_face_patch(size, ident, rng)
-            Image.fromarray(img).save(cls_dir / f'{class_prefix}_{c:04d}'
-                                                f'_{i:04d}.png')
+            Image.fromarray(img).save(cls_dir / f'{class_prefix}_'
+                                                f'{label:04d}_{i:04d}.png')
     return directory

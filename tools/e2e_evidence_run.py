@@ -87,12 +87,12 @@ def main():
     # 1. datasets. Eval identities are DISJOINT from training identities
     # (ids offset by 10^6), matching the reference protocol of validating
     # on a dataset of unseen people (SURVEY.md §6: MegaFace subset).
-    if not train_dir.exists():
+    if not train_dir.exists() or not any(train_dir.glob('*/*.png')):  # empty dir = failed prior run
         print(f'rendering train set: {args.classes} classes '
               f'x {args.images_per_class} @182px -> {train_dir}')
         render_identity_set(train_dir, range(args.classes),
                             args.images_per_class, size=182, seed=0)
-    if not eval_dir.exists():
+    if not eval_dir.exists() or not any(eval_dir.glob('*/*.png')):  # empty dir = failed prior run
         print(f'rendering eval set: {args.eval_classes} unseen classes '
               f'x {args.eval_images_per_class} @182px -> {eval_dir}')
         render_identity_set(eval_dir,
