@@ -1,6 +1,11 @@
-"""Extract embeddings for a dataset and store them (h5 / npz / tfrecord).
+"""Compute embeddings for every image of a dataset and save them to disk.
 
-Parity: reference apps/embeddings.py.
+Output container is chosen by the outfile suffix: `.h5` (h5utils layout),
+`.npz` (numpy archive with file names), or TFRecord (dependency-free
+framing from utils/tfrecord.py).
+
+Parity: reference apps/embeddings.py (same CLI and h5/TFRecord outputs;
+the npz container is an addition).
 """
 
 import click
@@ -11,6 +16,25 @@ import numpy as np
 from facenet_tpu import config, dataset, facenet, h5utils, ioutils
 
 
+def _save_h5(path, result, dbase):
+    h5utils.write(path, 'embeddings', result.embeddings)
+    h5utils.write(path, 'labels', result.labels)
+
+
+def _save_npz(path, result, dbase):
+    np.savez(path, embeddings=result.embeddings, labels=result.labels,
+             files=np.array(dbase.files))
+
+
+def _save_tfrecord(path, result, dbase):
+    from facenet_tpu.utils.tfrecord import write_embeddings_tfrecord
+    write_embeddings_tfrecord(path, result.embeddings, result.labels,
+                              dbase.files)
+
+
+_WRITERS = {'.h5': _save_h5, '.npz': _save_npz}
+
+
 @click.command()
 @click.option('--config', 'config_file', default=None, type=Path,
               help='User yaml config merged on top of the app defaults.')
@@ -18,23 +42,14 @@ def main(**options):
     options = config.embeddings(__file__, {'config': options['config_file']})
 
     dbase = dataset.DBase(options.dataset)
-    ioutils.write_text_log(options.logfile, dbase)
-    print(dbase)
+    result = facenet.EvaluationOfEmbeddings(dbase, options)
 
-    embeddings = facenet.EvaluationOfEmbeddings(dbase, options)
-    ioutils.write_text_log(options.logfile, embeddings)
-    print(embeddings)
+    for part in (dbase, result):
+        ioutils.write_text_log(options.logfile, part)
+        print(part)
 
-    if options.outfile.suffix == '.h5':
-        h5utils.write(options.outfile, 'embeddings', embeddings.embeddings)
-        h5utils.write(options.outfile, 'labels', embeddings.labels)
-    elif options.outfile.suffix == '.npz':
-        np.savez(options.outfile, embeddings=embeddings.embeddings,
-                 labels=embeddings.labels, files=np.array(dbase.files))
-    else:
-        from facenet_tpu.utils.tfrecord import write_embeddings_tfrecord
-        write_embeddings_tfrecord(options.outfile, embeddings.embeddings,
-                                  embeddings.labels, dbase.files)
+    writer = _WRITERS.get(options.outfile.suffix, _save_tfrecord)
+    writer(options.outfile, result, dbase)
 
     print('output file:', options.outfile)
     print('number of examples:', dbase.nrof_images)

@@ -113,24 +113,25 @@ class Embeddings:
         self.config = config
         self.file = Path(str(config.path)).expanduser()
 
-        embeddings = h5utils.read(self.file, 'embeddings')
-        labels = h5utils.read(self.file, 'labels')
+        per_class = split_embeddings(h5utils.read(self.file, 'embeddings'),
+                                     h5utils.read(self.file, 'labels'))
 
-        self.embeddings = split_embeddings(embeddings, labels)
+        # Optional subsampling: first a random subset of classes, then a
+        # per-class cap on image count. Both draws are without replacement
+        # and leave smaller-than-cap groups untouched.
+        class_cap = int(self.config.nrof_classes or 0)
+        if class_cap and class_cap < len(per_class):
+            per_class = random.sample(per_class, class_cap)
 
-        if self.config.nrof_classes:
-            if self.nrof_classes > self.config.nrof_classes:
-                chosen = random.sample(range(self.nrof_classes),
-                                       self.config.nrof_classes)
-                self.embeddings = [self.embeddings[label] for label in chosen]
+        image_cap = int(self.config.max_nrof_images or 0)
+        if image_cap:
+            per_class = [
+                emb if emb.shape[0] <= image_cap
+                else emb[random.sample(range(emb.shape[0]), image_cap)]
+                for emb in per_class
+            ]
 
-        if self.config.max_nrof_images:
-            for idx, emb in enumerate(self.embeddings):
-                nrof_images = emb.shape[0]
-                if nrof_images > self.config.max_nrof_images:
-                    rows = random.sample(range(nrof_images),
-                                         self.config.max_nrof_images)
-                    self.embeddings[idx] = emb[rows, :]
+        self.embeddings = per_class
 
     def __repr__(self):
         data = [len(e) for e in self.embeddings]
