@@ -147,6 +147,86 @@ class FaceDetector:
         """Single-image detect -> list of BoundingBox (reference API)."""
         return self.detect_images([np.asarray(image)])[0]
 
+    def detect_files(self, paths, batch_size=32):
+        """JPEG/PNG files -> per-file [BoundingBox] lists, decode+letterbox
+        on the native C++ thread pool (VERDICT r2 next #3: the end-to-end
+        detection path with the host off the critical path).
+
+        The loader decodes batch n+1 while the cascade runs batch n; box
+        coordinates are mapped back through the per-file letterbox geometry
+        (header-only size probe — no second decode). Unreadable files get
+        an empty list, matching the reference's unreadable-file tolerance
+        (ref apps/extract_faces.py:48-54).
+
+        Falls back to serial PIL decode + detect_images when the native
+        library is unavailable.
+        """
+        from facenet_tpu import native
+
+        paths = [str(p) for p in paths]
+        if not native.available():
+            from facenet_tpu import ioutils
+            results = []
+            for start in range(0, len(paths), batch_size):
+                chunk = []
+                for p in paths[start:start + batch_size]:
+                    try:
+                        chunk.append(ioutils.pil2array(
+                            ioutils.read_image(p), mode=self.mode))
+                    except Exception:
+                        chunk.append(np.zeros((4, 4, 3), np.uint8))
+                results.extend(self.detect_images(chunk))
+            return results
+
+        shape = self._backend.image_shape
+        geom = []
+        for p in paths:
+            hw = native.probe_image(p)
+            geom.append(native.letterbox_geometry(hw[0], hw[1], shape)
+                        if hw else (1.0, (0.0, 0.0)))
+
+        loader = native.NativeBatchLoader(paths, shape,
+                                          mode=native.MODE_LETTERBOX)
+        try:
+            batches = [list(range(s, min(s + batch_size, len(paths))))
+                       for s in range(0, len(paths), batch_size)]
+            results = []
+            for images, ok in loader.iterate(batches):
+                out = self._backend.detect_batch(images)
+                base = len(results)
+                for i in range(len(images)):
+                    if not ok[i]:
+                        results.append([])
+                        continue
+                    scale, (left, top) = geom[base + i]
+                    results.append(self._boxes_from_output(
+                        out, i, scale, left, top))
+            return results
+        finally:
+            loader.close()
+
+    def _boxes_from_output(self, out, i, scale, pad_x, pad_y):
+        """Map one image's cascade output back to original-pixel boxes."""
+        landmarks = out.get('landmarks')
+        boxes_i = []
+        for k in range(out['boxes'].shape[1]):
+            if not out['valid'][i, k]:
+                continue
+            x1, y1, x2, y2 = out['boxes'][i, k]
+            x1 = (x1 - pad_x) / scale
+            x2 = (x2 - pad_x) / scale
+            y1 = (y1 - pad_y) / scale
+            y2 = (y2 - pad_y) / scale
+            lmk = None
+            if landmarks is not None:
+                lmk = ((landmarks[i, k] -
+                        np.array([pad_x, pad_y], np.float32)[None, :])
+                       / scale)
+            boxes_i.append(BoundingBox(
+                left=x1, top=y1, width=x2 - x1, height=y2 - y1,
+                confidence=float(out['scores'][i, k]), landmarks=lmk))
+        return boxes_i
+
     def detect_images(self, images):
         """Batched detect over arbitrary-size uint8 images.
 
@@ -158,28 +238,10 @@ class FaceDetector:
         batch, scales, pads = letterbox_batch(
             [np.asarray(img) for img in images], self._backend.image_shape)
         out = self._backend.detect_batch(batch)
-        landmarks = out.get('landmarks')      # frcnnv3 predicts boxes only
 
-        results = []
-        for i in range(len(images)):
-            boxes_i = []
-            for k in range(out['boxes'].shape[1]):
-                if not out['valid'][i, k]:
-                    continue
-                x1, y1, x2, y2 = out['boxes'][i, k]
-                # undo letterboxing
-                x1 = (x1 - pads[i, 0]) / scales[i]
-                x2 = (x2 - pads[i, 0]) / scales[i]
-                y1 = (y1 - pads[i, 1]) / scales[i]
-                y2 = (y2 - pads[i, 1]) / scales[i]
-                lmk = None
-                if landmarks is not None:
-                    lmk = (landmarks[i, k] - pads[i][None, :]) / scales[i]
-                boxes_i.append(BoundingBox(
-                    left=x1, top=y1, width=x2 - x1, height=y2 - y1,
-                    confidence=float(out['scores'][i, k]), landmarks=lmk))
-            results.append(boxes_i)
-        return results
+        return [self._boxes_from_output(out, i, scales[i],
+                                        pads[i, 0], pads[i, 1])
+                for i in range(len(images))]
 
     def __repr__(self):
         return (f'class {self.__class__.__name__}\n' +

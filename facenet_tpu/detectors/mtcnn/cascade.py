@@ -42,6 +42,13 @@ PNET_CELL = 12
 PNET_STRIDE = 2
 
 
+def _overflow_count(valid, k):
+    """Valid candidates beyond a top-k capacity: what the fixed-size buffer
+    silently drops. [B?, N] bool mask + capacity -> int32 count (>= 0)."""
+    n_valid = jnp.sum(valid.astype(jnp.int32), axis=-1)
+    return jnp.maximum(n_valid - jnp.int32(k), 0)
+
+
 def pyramid_scales(height, width, min_face_size=20, factor=0.709,
                    min_level=12):
     """Static list of pyramid scales (largest first)."""
@@ -171,10 +178,11 @@ class MTCNN:
         # P-Net stage from ~12.7 to ~8 ms/batch16 (measured; greedy NMS
         # and exact sort remain on the final O-Net outputs).
         k = min(self.k_pnet, boxes.shape[1])
+        overflow = _overflow_count(valid, k)
         boxes, scores, valid = jax.vmap(
             partial(top_k_boxes, k=k, approx=True))(boxes, scores, valid)
         keep = batched_nms_mask(boxes, scores, valid, 0.5, algorithm='fast')
-        return boxes, scores, valid & keep
+        return boxes, scores, valid & keep, overflow
 
     def _detect(self, params, images):
         images_f32 = images.astype(jnp.float32)
@@ -184,11 +192,17 @@ class MTCNN:
         # bf16 resizes — see _pnet_level)
         base_norm = normalize_crops(images_f32).astype(jnp.bfloat16)
         all_boxes, all_scores, all_valid = [], [], []
+        # Per-image counts of valid candidates dropped at each fixed-capacity
+        # top-k (dense crowd scenes can exceed the buffers; the counts make
+        # that truncation visible instead of silent).
+        overflow = {}
+        overflow['pnet_level'] = jnp.zeros((b,), jnp.int32)
         for level in range(len(self.scales)):
-            bx, sc, va = self._pnet_level(params, base_norm, level)
+            bx, sc, va, ov = self._pnet_level(params, base_norm, level)
             all_boxes.append(bx)
             all_scores.append(sc)
             all_valid.append(va)
+            overflow['pnet_level'] = overflow['pnet_level'] + ov
 
         boxes = jnp.concatenate(all_boxes, axis=1)
         scores = jnp.concatenate(all_scores, axis=1)
@@ -196,6 +210,7 @@ class MTCNN:
 
         # cross-level NMS 0.7 on the top-K_pnet proposals (still candidate
         # pruning — fast forms, see _pnet_level)
+        overflow['pnet'] = _overflow_count(valid, self.k_pnet)
         boxes, scores, valid = jax.vmap(
             partial(top_k_boxes, k=self.k_pnet, approx=True))(
                 boxes, scores, valid)
@@ -204,6 +219,7 @@ class MTCNN:
         boxes = square_boxes(boxes)
 
         # ---- stage 2: R-Net on 24x24 crops
+        overflow['rnet'] = _overflow_count(valid, self.k_rnet)
         boxes, scores, valid = jax.vmap(
             partial(top_k_boxes, k=self.k_rnet))(boxes, scores, valid)
         crops = crop_and_resize(images_f32, boxes, 24)       # [B,K,24,24,3]
@@ -221,6 +237,7 @@ class MTCNN:
         boxes = square_boxes(apply_bbox_regression(boxes, reg))
 
         # ---- stage 3: O-Net on 48x48 crops
+        overflow['onet'] = _overflow_count(valid, self.k_onet)
         boxes, scores, valid = jax.vmap(
             partial(top_k_boxes, k=self.k_onet))(boxes, scores, valid)
         crops = crop_and_resize(images_f32, boxes, 48)
@@ -250,6 +267,8 @@ class MTCNN:
             'scores': jnp.where(valid, scores, 0.0),
             'landmarks': landmarks,          # [B, K_onet, 5, 2]
             'valid': valid,
+            # per-image candidates lost to each capacity (see _overflow_count)
+            'overflow': overflow,
         }
 
     # ------------------------------------------------------------------
@@ -261,7 +280,17 @@ class MTCNN:
             raise ValueError(
                 f'expected {self.image_shape} images, got {images.shape[1:3]}'
                 ' — use letterbox_batch()')
-        return jax.device_get(self._detect_jit(self.params, images))
+        out = jax.device_get(self._detect_jit(self.params, images))
+        dropped = {stage: int(counts.sum())
+                   for stage, counts in out['overflow'].items()
+                   if counts.sum() > 0}
+        if dropped:
+            from facenet_tpu.logging import logger
+            logger.warning(
+                'MTCNN capacity overflow: dropped valid proposals %s '
+                '(raise max_proposals/max_refined/max_outputs for dense '
+                'scenes)', dropped)
+        return out
 
     def align_batch(self, images, landmarks, out_size=160):
         """Landmark-based alignment of detected faces (one face per image)."""
@@ -277,27 +306,35 @@ class MTCNN:
 def letterbox_batch(images, target_shape):
     """Host-side: pad/scale arbitrary-size images to a fixed shape.
 
+    Uses the C++ letterbox (native/imageio.cc) when the native library is
+    available — ~6x the serial PIL path — with PIL as fallback; both share
+    the geometry formula in `native.letterbox_geometry`.
+
     Returns (batch [B, H, W, 3] uint8, scales [B], pads [B, 2]) such that
     original_coords = (letterboxed_coords - pad) / scale.
     """
-    from PIL import Image
+    from facenet_tpu import native
 
-    th, tw = target_shape
+    th, tw = int(target_shape[0]), int(target_shape[1])
     out = np.zeros((len(images), th, tw, 3), np.uint8)
     scales = np.zeros((len(images),), np.float32)
     pads = np.zeros((len(images), 2), np.float32)
+    use_native = native.available()
 
     for i, img in enumerate(images):
         h, w = img.shape[:2]
-        scale = min(th / h, tw / w)
-        nh, nw = int(round(h * scale)), int(round(w * scale))
-        if (nh, nw) != (h, w):
-            img = np.asarray(Image.fromarray(img).resize((nw, nh),
-                                                         Image.BILINEAR))
-        top = (th - nh) // 2
-        left = (tw - nw) // 2
-        out[i, top:top + nh, left:left + nw] = img
+        scale, (left, top) = native.letterbox_geometry(h, w, (th, tw))
         scales[i] = scale
         pads[i] = (left, top)
+        if use_native:
+            out[i] = native.letterbox_array(img, (th, tw))
+        else:
+            from PIL import Image
+            nh = max(1, min(int(h * scale + 0.5), th))
+            nw = max(1, min(int(w * scale + 0.5), tw))
+            if (nh, nw) != (h, w):
+                img = np.asarray(Image.fromarray(img).resize(
+                    (nw, nh), Image.BILINEAR))
+            out[i, top:top + nh, left:left + nw] = img
 
     return out, scales, pads

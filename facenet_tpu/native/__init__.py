@@ -35,6 +35,7 @@ _build_error = None
 # Geometry modes (must match imageio.cc fn_decode_image).
 MODE_CROP_OR_PAD = 0
 MODE_RESIZE = 1
+MODE_LETTERBOX = 2
 
 
 def _build():
@@ -116,6 +117,9 @@ def _load():
         lib.fn_loader_wait.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_int32)]
+        lib.fn_letterbox_array.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8)]
         _lib = lib
         return _lib
 
@@ -163,6 +167,39 @@ def decode_image_native_size(path):
         return out.reshape(h.value, w.value, 3)
     finally:
         lib.fn_free(ptr)
+
+
+def letterbox_array(image, target_shape):
+    """C++ letterbox of a decoded uint8 [H, W, 3] array -> [th, tw, 3].
+
+    Same geometry as MODE_LETTERBOX decode (aspect-preserving bilinear
+    resize + centered zero pad); the scale/pad metadata comes from
+    `letterbox_geometry`.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f'native library unavailable: {_build_error}')
+    image = np.ascontiguousarray(image, dtype=np.uint8)
+    th, tw = int(target_shape[0]), int(target_shape[1])
+    out = np.empty((th, tw, 3), dtype=np.uint8)
+    lib.fn_letterbox_array(
+        image.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        image.shape[0], image.shape[1], th, tw,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out
+
+
+def letterbox_geometry(h, w, target_shape):
+    """(scale, (pad_left, pad_top)) of the letterbox placement for an
+    (h, w) image — MUST match imageio.cc letterbox():
+    original_coords = (letterboxed_coords - pad) / scale."""
+    th, tw = int(target_shape[0]), int(target_shape[1])
+    scale = min(th / h, tw / w)
+    # C-style rounding (x + 0.5 floored), NOT Python round(): must be
+    # bit-identical to imageio.cc letterbox()'s (int)(x + 0.5f)
+    nh = max(1, min(int(h * scale + 0.5), th))
+    nw = max(1, min(int(w * scale + 0.5), tw))
+    return scale, ((tw - nw) // 2, (th - nh) // 2)
 
 
 def probe_image(path):

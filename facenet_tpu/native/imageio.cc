@@ -278,6 +278,35 @@ static void resize_bilinear(const Image& src, int th, int tw, uint8_t* dst) {
   }
 }
 
+// Aspect-preserving resize + centered zero pad into a fixed [th, tw]
+// canvas — the detector-input geometry. The scale/pad formulas MUST match
+// detectors/mtcnn/cascade.py letterbox_geometry: scale = min(th/h, tw/w),
+// scaled dims rounded, pads = (target - scaled) // 2.
+static void letterbox(const Image& src, int th, int tw, uint8_t* dst) {
+  const float scale = std::min(static_cast<float>(th) / src.height,
+                               static_cast<float>(tw) / src.width);
+  int nh = static_cast<int>(src.height * scale + 0.5f);
+  int nw = static_cast<int>(src.width * scale + 0.5f);
+  nh = std::max(1, std::min(nh, th));
+  nw = std::max(1, std::min(nw, tw));
+
+  std::memset(dst, 0, static_cast<size_t>(th) * tw * 3);
+  const int top = (th - nh) / 2;
+  const int left = (tw - nw) / 2;
+
+  if (nh == th && nw == tw) {
+    resize_bilinear(src, th, tw, dst);
+    return;
+  }
+  std::vector<uint8_t> scaled(static_cast<size_t>(nh) * nw * 3);
+  resize_bilinear(src, nh, nw, scaled.data());
+  for (int y = 0; y < nh; ++y) {
+    std::memcpy(dst + (static_cast<size_t>(top + y) * tw + left) * 3,
+                scaled.data() + static_cast<size_t>(y) * nw * 3,
+                static_cast<size_t>(nw) * 3);
+  }
+}
+
 }  // namespace facenet_native
 
 // ---------------------------------------------------------------------------
@@ -287,7 +316,8 @@ static void resize_bilinear(const Image& src, int th, int tw, uint8_t* dst) {
 extern "C" {
 
 // Decode one file to a fixed-size uint8 RGB buffer [height, width, 3].
-// mode 0 = central crop-or-pad, 1 = bilinear resize.
+// mode 0 = central crop-or-pad, 1 = bilinear resize, 2 = letterbox
+// (aspect-preserving resize + centered zero pad).
 // Returns 1 on success, 0 on unreadable/corrupt file.
 int fn_decode_image(const char* path, int height, int width, int mode,
                     uint8_t* out) {
@@ -296,18 +326,77 @@ int fn_decode_image(const char* path, int height, int width, int mode,
   facenet_native::Image img;
   if (!facenet_native::decode_any(raw.data(), raw.size(), &img)) return 0;
   if (img.height <= 0 || img.width <= 0) return 0;
-  if (mode == 1)
+  if (mode == 2)
+    facenet_native::letterbox(img, height, width, out);
+  else if (mode == 1)
     facenet_native::resize_bilinear(img, height, width, out);
   else
     facenet_native::crop_or_pad(img, height, width, out);
   return 1;
 }
 
-// Probe a file: decode and report its native size without resizing.
+// Letterbox an ALREADY-DECODED HWC RGB uint8 array (h, w) into [th, tw, 3].
+// Same geometry as mode 2 of fn_decode_image.
+void fn_letterbox_array(const uint8_t* src, int h, int w, int th, int tw,
+                        uint8_t* out) {
+  facenet_native::Image img;
+  img.height = h;
+  img.width = w;
+  img.data.assign(src, src + static_cast<size_t>(h) * w * 3);
+  facenet_native::letterbox(img, th, tw, out);
+}
+
+// Probe a file: report its native size from the header WITHOUT a full
+// pixel decode (a JPEG header read is ~1000x cheaper than the decode;
+// callers probe whole datasets for letterbox geometry).
 // Returns 1 on success and fills (h, w); 0 if unreadable.
 int fn_probe_image(const char* path, int* h, int* w) {
   std::vector<uint8_t> raw;
   if (!facenet_native::read_file(path, &raw)) return 0;
+
+  // JPEG: header-only parse.
+  if (raw.size() >= 3 && raw[0] == 0xFF && raw[1] == 0xD8 && raw[2] == 0xFF) {
+    jpeg_decompress_struct cinfo;
+    facenet_native::JpegErrorMgr jerr;
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = facenet_native::jpeg_error_exit;
+    if (setjmp(jerr.setjmp_buffer)) {
+      jpeg_destroy_decompress(&cinfo);
+      return 0;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, raw.data(), static_cast<unsigned long>(raw.size()));
+    bool ok = jpeg_read_header(&cinfo, TRUE) == JPEG_HEADER_OK;
+    // same sanity cap as the decode path (see kMaxPixels)
+    if (ok && (cinfo.image_height == 0 || cinfo.image_width == 0 ||
+               uint64_t(cinfo.image_height) * cinfo.image_width >
+                   facenet_native::kMaxPixels))
+      ok = false;
+    if (ok) {
+      *h = static_cast<int>(cinfo.image_height);
+      *w = static_cast<int>(cinfo.image_width);
+    }
+    jpeg_destroy_decompress(&cinfo);
+    if (ok) return 1;
+    return 0;
+  }
+
+  // PNG: IHDR is fixed-position — width/height big-endian at bytes 16/20.
+  if (raw.size() >= 24 && !png_sig_cmp(raw.data(), 0, 8)) {
+    const uint8_t* p = raw.data();
+    const uint32_t pw = (uint32_t(p[16]) << 24) | (uint32_t(p[17]) << 16) |
+                        (uint32_t(p[18]) << 8) | uint32_t(p[19]);
+    const uint32_t ph = (uint32_t(p[20]) << 24) | (uint32_t(p[21]) << 16) |
+                        (uint32_t(p[22]) << 8) | uint32_t(p[23]);
+    if (pw == 0 || ph == 0 ||
+        uint64_t(ph) * pw > facenet_native::kMaxPixels)
+      return 0;
+    *h = static_cast<int>(ph);
+    *w = static_cast<int>(pw);
+    return 1;
+  }
+
+  // Unknown magic: fall back to a full decode attempt.
   facenet_native::Image img;
   if (!facenet_native::decode_any(raw.data(), raw.size(), &img)) return 0;
   *h = img.height;

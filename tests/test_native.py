@@ -145,6 +145,52 @@ def test_empty_batch_submit_completes():
         ldr.close()
 
 
+def test_letterbox_array_geometry():
+    from facenet_tpu import native
+    if not native.available():
+        pytest.skip('native library unavailable')
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (50, 100, 3)).astype(np.uint8)
+    out = native.letterbox_array(img, (96, 96))
+    assert out.shape == (96, 96, 3)
+    # 100 -> 96 wide: scale 0.96, height 48 centered at rows 24..71
+    rows = np.nonzero(out.any(axis=(1, 2)))[0]
+    assert rows[0] == 24 and rows[-1] == 71
+    scale, (left, top) = native.letterbox_geometry(50, 100, (96, 96))
+    assert scale == pytest.approx(0.96)
+    assert (left, top) == (0, 24)
+
+
+def test_letterbox_decode_matches_array(tmp_path):
+    """MODE_LETTERBOX decode == letterbox_array(decoded pixels): one
+    geometry implementation behind both entry points (PNG = lossless)."""
+    from PIL import Image
+    from facenet_tpu import native
+    if not native.available():
+        pytest.skip('native library unavailable')
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 255, (37, 61, 3)).astype(np.uint8)
+    p = tmp_path / 'x.png'
+    Image.fromarray(img).save(p)
+    via_decode = native.decode_image(str(p), (64, 48),
+                                     mode=native.MODE_LETTERBOX)
+    via_array = native.letterbox_array(img, (64, 48))
+    np.testing.assert_array_equal(via_decode, via_array)
+
+
+def test_probe_is_header_only_and_correct(tmp_path):
+    from PIL import Image
+    from facenet_tpu import native
+    if not native.available():
+        pytest.skip('native library unavailable')
+    rng = np.random.RandomState(2)
+    img = rng.randint(0, 255, (33, 77, 3)).astype(np.uint8)
+    for name, kw in (('a.jpg', {'quality': 90}), ('b.png', {})):
+        p = tmp_path / name
+        Image.fromarray(img).save(p, **kw)
+        assert native.probe_image(str(p)) == (33, 77)
+
+
 def test_huge_header_rejected(tmp_path):
     """A PNG header declaring 60000x60000 (~10.8 GB) must fail the decode
     contract (None) instead of throwing bad_alloc in a worker thread."""
