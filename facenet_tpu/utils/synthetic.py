@@ -38,13 +38,26 @@ __all__ = [
     'write_detection_dataset', 'write_identity_dataset',
 ]
 
+SCENE_FAMILIES = ('base', 'shifted')
+
 
 # ---------------------------------------------------------------------------
 # identity -> appearance parameters
 # ---------------------------------------------------------------------------
 
-def identity_params(class_id, salt=0):
-    """Deterministic appearance parameters for one identity."""
+def identity_params(class_id, salt=0, hard=False):
+    """Deterministic appearance parameters for one identity.
+
+    With hard=True, identities are drawn as FAMILY ARCHETYPE + SMALL DELTA
+    (VERDICT r2 next #2): ~8 identities share each archetype, so a
+    benchmark over hard identities contains many near-identical negative
+    pairs — the Bayes rate of the pair task drops below 1.0 no matter how
+    strong the embedding model, and the 10-fold accuracy leaves the
+    saturated >=0.999 regime. The family hash mixes the id so disjoint
+    train/eval id ranges still both form families.
+    """
+    if hard:
+        return _hard_identity_params(class_id, salt)
     rng = np.random.RandomState((1_000_003 * (int(class_id) + 1) + salt)
                                 % (2 ** 31))
     skin_base = np.array([225, 185, 150], np.float32)
@@ -73,6 +86,41 @@ def identity_params(class_id, salt=0):
         'hair_line': rng.uniform(-0.75, -0.45),  # v above which hair covers
         'hair_col': rng.uniform(10, 130, 3).astype(np.float32),
     }
+
+
+HARD_FAMILY_SIZE = 8        # identities per archetype in hard mode
+HARD_DELTA = 0.18           # identity delta as a fraction of the range
+
+
+def _hard_identity_params(class_id, salt=0):
+    """Archetype + delta parameter draw (see identity_params hard=True).
+
+    Scalar parameters move from the family archetype by at most
+    HARD_DELTA x their base range; colors by a matching fraction. A family
+    is `class_id // HARD_FAMILY_SIZE` (salted), so consecutive ids share
+    an archetype.
+    """
+    family = int(class_id) // HARD_FAMILY_SIZE
+    base = identity_params(family * 7_919 + 13, salt=salt + 101)
+
+    rng = np.random.RandomState((2_000_033 * (int(class_id) + 1) + salt)
+                                % (2 ** 31))
+    # base ranges from the identity_params draw, keyed by parameter
+    ranges = {
+        'face_rx': 0.18, 'face_ry': 0.15, 'eye_dx': 0.14, 'eye_y': 0.18,
+        'eye_rx': 0.06, 'eye_ry': 0.04, 'iris_r': 0.025, 'brow_w': 0.03,
+        'brow_tilt': 0.16, 'nose_len': 0.18, 'nose_w': 0.06,
+        'mouth_y': 0.16, 'mouth_w': 0.16, 'mouth_h': 0.04,
+        'mouth_curve': 0.16, 'hair_line': 0.30,
+    }
+    p = dict(base)
+    for key, width in ranges.items():
+        p[key] = float(base[key] + rng.uniform(-1, 1) * width * HARD_DELTA)
+    for key in ('skin', 'iris_col', 'lip_col', 'hair_col'):
+        p[key] = (base[key] *
+                  (1.0 + rng.uniform(-HARD_DELTA * 0.5, HARD_DELTA * 0.5, 3))
+                  ).astype(np.float32)
+    return p
 
 
 # ---------------------------------------------------------------------------
@@ -139,9 +187,11 @@ def _face_landmarks_local(p):
     ], np.float32)
 
 
-def _paint_face(img, cx, cy, half, rot, p, light):
+def _paint_face(img, cx, cy, half, rot, p, light, aspect=1.0):
     """Composite one face into `img` (modified in place).
 
+    :param aspect: horizontal squash (< 1 narrows the face — a cheap yaw
+        proxy used by the hard render mode)
     :returns: (tight box [x1, y1, x2, y2], landmarks [5, 2]) in image pixels,
         or None if the face fell fully outside the canvas.
     """
@@ -157,7 +207,7 @@ def _paint_face(img, cx, cy, half, rot, p, light):
     yy, xx = np.mgrid[ys1:ys2, xs1:xs2].astype(np.float32)
     c, s = np.cos(rot), np.sin(rot)
     du, dv = (xx - cx) / half, (yy - cy) / half
-    u = c * du + s * dv
+    u = (c * du + s * dv) / aspect
     v = -s * du + c * dv
 
     rgb, head = _shade_face(u, v, p, light)
@@ -171,8 +221,9 @@ def _paint_face(img, cx, cy, half, rot, p, light):
                     xs1 + xs.max() + 1, ys1 + ys.max() + 1], np.float32)
 
     lm = _face_landmarks_local(p)
-    lmx = cx + (c * lm[:, 0] - s * lm[:, 1]) * half
-    lmy = cy + (s * lm[:, 0] + c * lm[:, 1]) * half
+    lmu = lm[:, 0] * aspect
+    lmx = cx + (c * lmu - s * lm[:, 1]) * half
+    lmy = cy + (s * lmu + c * lm[:, 1]) * half
     return box, np.stack([lmx, lmy], axis=1)
 
 
@@ -202,21 +253,120 @@ def _background(rng, h, w, clutter=True):
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
+def _background_shifted(rng, h, w, clutter=True):
+    """OUT-OF-FAMILY background: a deliberate distribution shift from
+    `_background` for detector evaluation (VERDICT r2 weak #3 — detectors
+    must be shown scenes their training renderer never produced).
+
+    Differences from the training family: periodic textures (stripes /
+    checkerboard) instead of a smooth gradient, stronger pixel noise, and
+    new distractor species — rings, triangles, and skin-toned blobs with
+    dark speckles (face-colored decoys that punish a color-only detector).
+    """
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = rng.uniform(30, 170, 3).astype(np.float32)
+    period = rng.uniform(8, 40)
+    if rng.rand() < 0.5:
+        ang = rng.uniform(0, np.pi)
+        tex = 0.5 + 0.5 * np.sin(
+            2 * np.pi * (xx * np.cos(ang) + yy * np.sin(ang)) / period)
+    else:
+        tex = (((xx // period) + (yy // period)) % 2).astype(np.float32)
+    img = base[None, None, :] * (0.55 + 0.45 * tex)[..., None]
+    img = img + rng.normal(0, 18, (h, w, 3))
+
+    if clutter:
+        skin_base = np.array([225, 185, 150], np.float32)
+        for _ in range(rng.randint(3, 8)):
+            kind = rng.randint(3)
+            if kind == 0:          # ring (annulus)
+                col = rng.uniform(0, 255, 3).astype(np.float32)
+                cx, cy = rng.uniform(0, w), rng.uniform(0, h)
+                r = rng.uniform(0.06, 0.22) * min(h, w)
+                d = np.sqrt((xx - cx) ** 2 + (yy - cy) ** 2)
+                m = np.abs(d - r) < r * rng.uniform(0.15, 0.35)
+                img[m] = col
+            elif kind == 1:        # triangle (half-plane intersection)
+                col = rng.uniform(0, 255, 3).astype(np.float32)
+                pts = np.stack([rng.uniform(0, w, 3),
+                                rng.uniform(0, h, 3)], axis=1)
+                m = np.ones((h, w), bool)
+                for i in range(3):
+                    a, bp = pts[i], pts[(i + 1) % 3]
+                    cr = ((bp[0] - a[0]) * (yy - a[1]) -
+                          (bp[1] - a[1]) * (xx - a[0]))
+                    # orient by the third vertex
+                    cc = pts[(i + 2) % 3]
+                    sgn = ((bp[0] - a[0]) * (cc[1] - a[1]) -
+                           (bp[1] - a[1]) * (cc[0] - a[0]))
+                    m &= (cr * np.sign(sgn or 1.0)) >= 0
+                img[m] = col
+            else:                  # skin-toned blob with dark speckles
+                col = skin_base * rng.uniform(0.55, 1.05)
+                cx, cy = rng.uniform(0, w), rng.uniform(0, h)
+                rx = rng.uniform(0.05, 0.18) * w
+                ry = rng.uniform(0.05, 0.18) * h
+                m = ((xx - cx) / rx) ** 2 + ((yy - cy) / ry) ** 2 <= 1
+                img[m] = col
+                for _dot in range(rng.randint(2, 5)):
+                    du = rng.uniform(-0.6, 0.6)
+                    dv = rng.uniform(-0.6, 0.6)
+                    dr = rng.uniform(0.04, 0.12)
+                    dm = (((xx - cx - du * rx) / (dr * rx)) ** 2 +
+                          ((yy - cy - dv * ry) / (dr * ry)) ** 2) <= 1
+                    img[dm & m] = rng.uniform(10, 70)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _shift_postprocess(rng, img, boxes):
+    """Whole-frame perturbation for the shifted family: contrast jitter +
+    sensor noise over faces and background alike, plus an occluding bar
+    across ~1 in 4 faces (ground-truth boxes stay valid — the face is
+    still there, partially hidden)."""
+    h, w = img.shape[:2]
+    out = img.astype(np.float32) * rng.uniform(0.85, 1.15)
+    out = out + rng.normal(0, 10, out.shape)
+    out = np.clip(out, 0, 255).astype(np.uint8)
+    for b in boxes:
+        if rng.rand() < 0.25:
+            bh = b[3] - b[1]
+            y1 = int(b[1] + rng.uniform(0.3, 0.7) * bh)
+            y2 = min(int(y1 + 0.15 * bh) + 1, h)
+            x1, x2 = max(int(b[0]), 0), min(int(b[2]), w)
+            out[y1:y2, x1:x2] = rng.uniform(0, 255, 3).astype(np.uint8)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # public renderers
 # ---------------------------------------------------------------------------
 
-def render_face_patch(size, identity, rng, jitter=True):
+def render_face_patch(size, identity, rng, jitter=True, hard=False):
     """One aligned face crop for identity training ([size, size, 3] uint8).
 
     The face fills most of the crop (like the 160x160 thumbnails
     `extract_faces` produces); jitter adds pose/scale/lighting variation.
+
+    hard=True is the de-saturated benchmark mode (VERDICT r2 next #2):
+    scalar-identity draws become family archetypes + deltas, and per-image
+    nuisance goes up — yaw squash, wider rotation/scale/lighting, partial
+    occlusion, blur, and sensor noise — so within-class spread overlaps
+    between-class distances and pair accuracy leaves the 1.0 ceiling.
     """
     size = int(size)
-    p = identity_params(identity) if np.isscalar(identity) else identity
+    p = (identity_params(identity, hard=hard) if np.isscalar(identity)
+         else identity)
     img = _background(rng, size, size, clutter=False)
 
-    if jitter:
+    aspect = 1.0
+    if hard:
+        half = size * 0.5 * rng.uniform(0.62, 0.95)
+        cx = size / 2 + rng.uniform(-0.09, 0.09) * size
+        cy = size / 2 + rng.uniform(-0.09, 0.09) * size
+        rot = rng.uniform(-0.30, 0.30)
+        light = rng.uniform(0.55, 1.45)
+        aspect = rng.uniform(0.70, 1.0)      # yaw proxy
+    elif jitter:
         half = size * 0.5 * rng.uniform(0.78, 0.95)
         cx = size / 2 + rng.uniform(-0.05, 0.05) * size
         cy = size / 2 + rng.uniform(-0.05, 0.05) * size
@@ -225,24 +375,51 @@ def render_face_patch(size, identity, rng, jitter=True):
     else:
         half, cx, cy, rot, light = size * 0.45, size / 2, size / 2, 0.0, 1.0
 
-    _paint_face(img, cx, cy, half, rot, p, light)
+    out = _paint_face(img, cx, cy, half, rot, p, light, aspect=aspect)
+
+    if hard:
+        # partial occlusion over the face box
+        if out is not None and rng.rand() < 0.30:
+            b = out[0]
+            bw, bh = b[2] - b[0], b[3] - b[1]
+            ox = int(b[0] + rng.uniform(0.0, 0.7) * bw)
+            oy = int(b[1] + rng.uniform(0.0, 0.7) * bh)
+            ow = max(2, int(rng.uniform(0.15, 0.45) * bw))
+            oh = max(2, int(rng.uniform(0.10, 0.30) * bh))
+            img[max(oy, 0):oy + oh, max(ox, 0):ox + ow] = \
+                rng.uniform(0, 255, 3).astype(np.uint8)
+        f = img.astype(np.float32)
+        if rng.rand() < 0.5:                 # 3x3 box blur
+            k = np.ones((3, 3), np.float32) / 9.0
+            pad = np.pad(f, ((1, 1), (1, 1), (0, 0)), mode='edge')
+            f = sum(pad[dy:dy + size, dx:dx + size] * k[dy, dx]
+                    for dy in range(3) for dx in range(3))
+        f = f * rng.uniform(0.85, 1.15) + rng.normal(
+            0, rng.uniform(3, 9), f.shape)
+        img = np.clip(f, 0, 255).astype(np.uint8)
+
     return img
 
 
 def render_scene(rng, shape=(256, 256), n_faces=None, identities=None,
-                 min_face=24, max_face=None, clutter=True):
+                 min_face=24, max_face=None, clutter=True, family='base'):
     """A cluttered scene with 0..N faces and ground truth.
 
+    :param family: 'base' (the training distribution) or 'shifted' (the
+        out-of-family evaluation distribution — see `_background_shifted`)
     :returns: (image [H, W, 3] uint8, boxes [G, 4] float32 x1y1x2y2,
         landmarks [G, 5, 2] float32)
     """
+    if family not in SCENE_FAMILIES:
+        raise ValueError(f'unknown scene family {family!r}')
     h, w = int(shape[0]), int(shape[1])
     if max_face is None:
         max_face = int(min(h, w) * 0.75)
     if n_faces is None:
         n_faces = rng.randint(1, 4)
 
-    img = _background(rng, h, w, clutter=clutter)
+    bg = _background_shifted if family == 'shifted' else _background
+    img = bg(rng, h, w, clutter=clutter)
     boxes, lmks = [], []
     for k in range(n_faces):
         for _attempt in range(12):
@@ -269,9 +446,11 @@ def render_scene(rng, shape=(256, 256), n_faces=None, identities=None,
                 lmks.append(out[1])
             break
 
-    if boxes:
-        return img, np.stack(boxes), np.stack(lmks)
-    return (img, np.zeros((0, 4), np.float32), np.zeros((0, 5, 2), np.float32))
+    boxes = (np.stack(boxes) if boxes else np.zeros((0, 4), np.float32))
+    lmks = (np.stack(lmks) if len(lmks) else np.zeros((0, 5, 2), np.float32))
+    if family == 'shifted':
+        img = _shift_postprocess(rng, img, boxes)
+    return img, boxes, lmks
 
 
 # ---------------------------------------------------------------------------
@@ -308,11 +487,12 @@ def write_detection_dataset(directory, n_images, shape=(256, 256), seed=0,
 
 
 def write_identity_dataset(directory, n_classes, images_per_class, size=160,
-                           seed=0, class_prefix='person'):
+                           seed=0, class_prefix='person', hard=False):
     """Directory-per-class aligned crops, readable by `dataset.Database`.
 
     :param n_classes: class count (ids 0..n-1) or an iterable of explicit
         identity ids (e.g. an offset range for held-out identities)
+    :param hard: de-saturated benchmark mode (see render_face_patch)
     """
     from PIL import Image
 
@@ -325,9 +505,9 @@ def write_identity_dataset(directory, n_classes, images_per_class, size=160,
     for label, c in enumerate(class_ids):
         cls_dir = directory / f'{class_prefix}_{label:04d}'
         cls_dir.mkdir(exist_ok=True)
-        ident = identity_params(c)
+        ident = identity_params(c, hard=hard)
         for i in range(int(images_per_class)):
-            img = render_face_patch(size, ident, rng)
+            img = render_face_patch(size, ident, rng, hard=hard)
             Image.fromarray(img).save(cls_dir / f'{class_prefix}_'
                                                 f'{label:04d}_{i:04d}.png')
     return directory
