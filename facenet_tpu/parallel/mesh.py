@@ -110,6 +110,28 @@ def distribute_batch(mesh, local_batch, sharding=None):
         sharding, np.asarray(local_batch))
 
 
+def allgather_host_varlen(x):
+    """Allgather a 1-D host array of per-process-varying length; returns
+    the concatenation (process order) on every process.
+
+    jax.experimental.multihost_utils.process_allgather needs equal shapes,
+    so lengths are agreed first and arrays padded to the max.
+    """
+    from jax.experimental import multihost_utils
+
+    x = np.asarray(x)
+    if jax.process_count() == 1:
+        return x
+    lengths = np.asarray(
+        multihost_utils.process_allgather(np.int64(x.shape[0])))
+    m = int(lengths.max())
+    padded = np.zeros((m,), x.dtype)
+    padded[:x.shape[0]] = x
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    return np.concatenate(
+        [gathered[p, :int(lengths[p])] for p in range(len(lengths))])
+
+
 def param_shardings(mesh, params):
     """Sharding tree for a param pytree: logits head sharded over 'model',
     everything else replicated (the 23.5M-param backbone fits every chip)."""

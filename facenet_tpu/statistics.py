@@ -260,8 +260,17 @@ def confusion_counts(embeddings, labels, thresholds, metric=0, atol=1e-5,
     embeddings = np.ascontiguousarray(embeddings, dtype=np.float32)
     labels = np.asarray(labels)
 
-    # remap labels to a dense range
-    uniq, dense = np.unique(labels, return_inverse=True)
+    # remap labels to a dense range. Multi-process (each process holds only
+    # its row stripe): the dense mapping must agree across processes, so
+    # the label VALUES are allgathered (tiny int arrays over DCN) and the
+    # unique set is computed globally before densifying the local stripe.
+    import jax as _jax
+    if _jax.process_count() > 1:
+        from facenet_tpu.parallel.mesh import allgather_host_varlen
+        uniq = np.unique(allgather_host_varlen(labels))
+        dense = np.searchsorted(uniq, labels)
+    else:
+        uniq, dense = np.unique(labels, return_inverse=True)
     num_classes = len(uniq)
 
     # normalization sanity check, as in pairwise_similarities (ref :38-42)

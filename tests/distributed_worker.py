@@ -13,6 +13,10 @@ two workers form an 8-device global mesh over jax.distributed. Modes:
   epoch  — trainer.train_epoch with identical global batches on both
            processes (the distributed app's flow: the epoch loop slices
            each process's rows itself).
+  eval   — multi-host confusion_counts: each process passes ONLY its row
+           stripe of the embedding set; the column all-gather and the
+           histogram psum cross the process boundary, and the result must
+           equal the single-process computation over the full set.
 """
 
 import sys
@@ -49,6 +53,30 @@ def main():
         arr = jax.make_array_from_process_local_data(
             NamedSharding(mesh, P('data')), local)
         print(f'RESULT {float(np.asarray(total(arr))):.4f}', flush=True)
+        return
+
+    if mode == 'eval':
+        from facenet_tpu import statistics
+        from facenet_tpu.parallel import mesh as mesh_mod
+
+        rng = np.random.RandomState(0)      # same stream in both processes
+        n, d = 23, 32                       # uneven split: 12 + 11 rows
+        emb = rng.normal(size=(n, d))
+        emb = (emb / np.linalg.norm(emb, axis=1, keepdims=True)
+               ).astype(np.float32)
+        labels = rng.choice([3, 7, 9, 12], size=n)  # non-dense label values
+        thresholds = np.arange(0.25, 4.0, 0.25, dtype=np.float32)
+
+        lo, hi = (0, 12) if pid == 0 else (12, n)
+        mesh = mesh_mod.create_mesh(data=8, model=1)
+        got = statistics.confusion_counts(
+            emb[lo:hi], labels[lo:hi], thresholds, metric=0, mesh=mesh)
+        # oracle: the plain single-device path over the FULL set (both
+        # processes hold it — same rng stream)
+        want = statistics.confusion_counts(emb, labels, thresholds, metric=0)
+        for g, w in zip(got, want):
+            assert np.allclose(g, w, atol=1e-5), (g, w)
+        print(f'RESULT {float(sum(x.sum() for x in got)):.6f}', flush=True)
         return
 
     # ---- mode == 'train': full train step across both processes

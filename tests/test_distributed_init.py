@@ -79,6 +79,16 @@ def test_two_process_train_epoch():
     assert np.isfinite(r0) and r0 > 0
 
 
+def test_two_process_eval():
+    """Multi-host EVALUATION (VERDICT r2 next #5): confusion_counts with
+    per-process row stripes (uneven 12+11 split, non-dense labels) over an
+    8-device/2-process mesh — the column all-gather and histogram psum
+    cross the process boundary — must equal the single-process result."""
+    r0, r1 = _run_two_workers('eval')
+    assert r0 == r1
+    assert np.isfinite(r0) and r0 > 0
+
+
 def test_distributed_initialize_single_process(tmp_path):
     # tiny 4-class dataset
     root = tmp_path / 'faces'
