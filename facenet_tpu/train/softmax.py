@@ -279,11 +279,49 @@ class SoftmaxTrainer:
             self._step_fn = jax.jit(raw, donate_argnums=(0,))
         return self._step_fn
 
+    def _placed_batches(self, batches, batch_shard, prefetch):
+        """Yield (global_batch_size, device_images, device_labels) with up
+        to `prefetch` batches' host->device transfers in flight ahead of
+        the consumer. device_put is async, so enqueueing batch n+1 while
+        step n computes overlaps the PCIe/ICI copy with compute (the
+        tf.data prefetch the reference gets from dataset.py:15-43); with
+        prefetch <= 1 this degrades to the strictly serial order."""
+        from collections import deque
+
+        n_proc = jax.process_count()
+        queue = deque()
+        for images, labels in batches:
+            size = len(images)
+            # multi-host: every process's pipeline draws the IDENTICAL
+            # global batch (same seed and cursor), so each contributes its
+            # own contiguous slice and distribute_batch reassembles the
+            # global array — batch_size stays the GLOBAL batch size.
+            if n_proc > 1:
+                if size % n_proc:
+                    raise ValueError(
+                        f'global batch {size} not divisible by '
+                        f'{n_proc} processes')
+                per = size // n_proc
+                lo = jax.process_index() * per
+                images = images[lo:lo + per]
+                labels = labels[lo:lo + per]
+            queue.append((size,
+                          mesh_mod.distribute_batch(self.mesh, images,
+                                                    batch_shard),
+                          mesh_mod.distribute_batch(self.mesh, labels,
+                                                    batch_shard)))
+            if len(queue) >= max(int(prefetch), 1):
+                yield queue.popleft()
+        while queue:
+            yield queue.popleft()
+
     def train_epoch(self, state, batches, epoch, log_every=100):
         """One epoch over an iterable of (images, labels) host batches."""
+        from facenet_tpu.config import value_or
         from facenet_tpu.utils import profiling
 
         batch_shard = mesh_mod.batch_sharding(self.mesh)
+        prefetch = int(value_or(self.cfg.train.prefetch, 2))
         t0 = time.monotonic()
         metrics = None
         n = 0
@@ -292,7 +330,6 @@ class SoftmaxTrainer:
         prof = self.cfg.profiling
         trace_dir = str(prof.trace_dir) if prof and prof.trace_dir else None
 
-        from facenet_tpu.config import value_or
         trace_epoch = int(value_or(prof.epoch if prof else None, 0))
         trace_start = int(value_or(prof.start_step if prof else None, 3))
         trace_steps = int(value_or(prof.num_steps if prof else None, 5))
@@ -301,32 +338,14 @@ class SoftmaxTrainer:
         timer = profiling.StepTimer(
             items_per_step=0, log_every=0, name=f'epoch {epoch} step')
 
-        for images, labels in batches:
+        for size, images, labels in self._placed_batches(batches, batch_shard,
+                                                         prefetch):
             if trace_dir and epoch == trace_epoch and n == trace_start:
                 from jax import profiler as jax_profiler
                 jax_profiler.start_trace(trace_dir)
                 tracing = True
-            timer.items_per_step = len(images)
+            timer.items_per_step = size
             with timer:
-                # single-process: device_put. Multi-host: every process's
-                # pipeline draws the IDENTICAL global batch (same seed and
-                # cursor), so each contributes its own contiguous slice
-                # and distribute_batch reassembles the global array —
-                # batch_size stays the GLOBAL batch size.
-                n_proc = jax.process_count()
-                if n_proc > 1:
-                    if len(images) % n_proc:
-                        raise ValueError(
-                            f'global batch {len(images)} not divisible by '
-                            f'{n_proc} processes')
-                    per = len(images) // n_proc
-                    lo = jax.process_index() * per
-                    images = images[lo:lo + per]
-                    labels = labels[lo:lo + per]
-                images = mesh_mod.distribute_batch(self.mesh, images,
-                                                   batch_shard)
-                labels = mesh_mod.distribute_batch(self.mesh, labels,
-                                                   batch_shard)
                 state, metrics = self.step_fn(state, images, labels)
             n += 1
             if tracing and n >= trace_start + trace_steps:

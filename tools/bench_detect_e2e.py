@@ -1,0 +1,91 @@
+"""End-to-end detection throughput: JPEG files -> boxes, including decode,
+letterbox, and the TPU cascade (VERDICT r2 next #3).
+
+Writes N synthetic scenes as JPEGs, then times FaceDetector.detect_files
+(native C++ threaded decode+letterbox feeding the jitted cascade). Prints
+per-stage numbers: pure host decode+letterbox rate, cascade-only rate, and
+the end-to-end JPEG->boxes rate.
+
+Usage: python tools/bench_detect_e2e.py [n_images] [batch]
+Ref being rebuilt: the reference's extract_faces JPEG->crops loop
+(reference apps/extract_faces.py:37-85, one sess.run per image).
+"""
+
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main():
+    n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+
+    from PIL import Image
+    from facenet_tpu import native
+    from facenet_tpu.detectors.face_detector import FaceDetector
+    from facenet_tpu.utils.synthetic import render_scene
+
+    assert native.available(), 'native library required for this bench'
+
+    tmp = Path(tempfile.mkdtemp(prefix='bench_detect_'))
+    rng = np.random.RandomState(0)
+    sizes = [(480, 640), (360, 480), (600, 800)]
+    paths = []
+    for i in range(n_images):
+        h, w = sizes[i % len(sizes)]
+        img, _, _ = render_scene(rng, shape=(h, w), n_faces=rng.randint(1, 4),
+                                 min_face=60, max_face=240)
+        p = tmp / f'{i:04d}.jpg'
+        Image.fromarray(img).save(p, quality=90)
+        paths.append(p)
+    print(f'{n_images} scenes written to {tmp}', flush=True)
+
+    det = FaceDetector(detector='mtcnn', image_shape=(480, 640))
+
+    # warmup: compile the cascade
+    det.detect_files(paths[:batch], batch_size=batch)
+
+    # --- host only: threaded decode + letterbox
+    loader = native.NativeBatchLoader([str(p) for p in paths], (480, 640),
+                                      mode=native.MODE_LETTERBOX)
+    batches = [list(range(s, min(s + batch, len(paths))))
+               for s in range(0, len(paths), batch)]
+    t0 = time.perf_counter()
+    n_ok = 0
+    for images, ok in loader.iterate(batches):
+        n_ok += int(ok.sum())
+    t_host = time.perf_counter() - t0
+    loader.close()
+    print(f'host decode+letterbox: {n_images / t_host:8.1f} img/s '
+          f'({1000 * t_host / n_images:.2f} ms/img, {n_ok} ok)', flush=True)
+
+    # --- cascade only (device, pre-letterboxed batch resident on host)
+    imgs = np.stack([np.asarray(Image.open(p).convert('RGB').resize(
+        (640, 480))) for p in paths[:batch]])
+    for _ in range(2):
+        det._backend.detect_batch(imgs)
+    t0 = time.perf_counter()
+    iters = 10
+    for _ in range(iters):
+        det._backend.detect_batch(imgs)
+    t_dev = (time.perf_counter() - t0) / iters
+    print(f'cascade only:          {batch / t_dev:8.1f} img/s '
+          f'({1000 * t_dev:.2f} ms/batch{batch})', flush=True)
+
+    # --- end to end: JPEG files -> boxes
+    t0 = time.perf_counter()
+    results = det.detect_files(paths, batch_size=batch)
+    t_e2e = time.perf_counter() - t0
+    n_faces = sum(len(r) for r in results)
+    print(f'end-to-end JPEG->boxes:{n_images / t_e2e:8.1f} img/s '
+          f'({1000 * t_e2e / n_images:.2f} ms/img; {n_faces} faces in '
+          f'{n_images} images)', flush=True)
+
+
+if __name__ == '__main__':
+    main()

@@ -39,20 +39,21 @@ def _render_class(job):
 
     from facenet_tpu.utils.synthetic import identity_params, render_face_patch
 
-    root, class_id, label, n_images, size, seed = job
+    root, class_id, label, n_images, size, seed, hard = job
     rng = np.random.RandomState(seed)
-    ident = identity_params(class_id)
+    ident = identity_params(class_id, hard=hard)
     cls_dir = Path(root) / f'person_{label:04d}'
     cls_dir.mkdir(parents=True, exist_ok=True)
     from PIL import Image
     for i in range(n_images):
-        img = render_face_patch(size, ident, rng)
+        img = render_face_patch(size, ident, rng, hard=hard)
         Image.fromarray(img).save(cls_dir / f'person_{label:04d}_{i:04d}.png')
     return label
 
 
-def render_identity_set(root, class_ids, n_images, size, seed, workers=8):
-    jobs = [(str(root), cid, lab, n_images, size, seed + lab)
+def render_identity_set(root, class_ids, n_images, size, seed, workers=8,
+                        hard=False):
+    jobs = [(str(root), cid, lab, n_images, size, seed + lab, hard)
             for lab, cid in enumerate(class_ids)]
     t0 = time.time()
     with ProcessPoolExecutor(max_workers=workers) as pool:
@@ -77,6 +78,11 @@ def main():
     ap.add_argument('--data-dir', type=Path, default=None,
                     help='reuse/keep rendered datasets here')
     ap.add_argument('--center-loss', type=float, default=0.5)
+    ap.add_argument('--hard', action='store_true',
+                    help='de-saturated benchmark mode: family-overlapped '
+                         'identities + heavy per-image nuisance '
+                         '(utils/synthetic.py hard=True). The standard '
+                         'evidence configuration since round 3.')
     args = ap.parse_args()
 
     data_root = args.data_dir or Path(tempfile.mkdtemp(prefix='e2e_data_'))
@@ -89,16 +95,19 @@ def main():
     # on a dataset of unseen people (SURVEY.md §6: MegaFace subset).
     if not train_dir.exists() or not any(train_dir.glob('*/*.png')):  # empty dir = failed prior run
         print(f'rendering train set: {args.classes} classes '
-              f'x {args.images_per_class} @182px -> {train_dir}')
+              f'x {args.images_per_class} @182px -> {train_dir}'
+              f'{" (hard)" if args.hard else ""}')
         render_identity_set(train_dir, range(args.classes),
-                            args.images_per_class, size=182, seed=0)
+                            args.images_per_class, size=182, seed=0,
+                            hard=args.hard)
     if not eval_dir.exists() or not any(eval_dir.glob('*/*.png')):  # empty dir = failed prior run
         print(f'rendering eval set: {args.eval_classes} unseen classes '
-              f'x {args.eval_images_per_class} @182px -> {eval_dir}')
+              f'x {args.eval_images_per_class} @182px -> {eval_dir}'
+              f'{" (hard)" if args.hard else ""}')
         render_identity_set(eval_dir,
                             range(10 ** 6, 10 ** 6 + args.eval_classes),
                             args.eval_images_per_class, size=182,
-                            seed=7_000_000)
+                            seed=7_000_000, hard=args.hard)
     n_eval = sum(1 for _ in eval_dir.glob('*/*.png'))
     print(f'eval geometry: {args.eval_classes} classes, {n_eval} images '
           '(reference: 530 classes / 26,489 images)')
