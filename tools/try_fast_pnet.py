@@ -1,5 +1,14 @@
-"""Equivalence + timing of the NCHW shifted-einsum P-Net vs the flax path.
+"""MEASURED NEGATIVE (round 3): NCHW shifted-einsum P-Net vs the flax path.
 
+Result on v5e (2026-08-17): numerics match (max prob diff 0.001) but the
+NCHW shifted-einsum form is 0.65x — 11.75 ms vs 7.66 ms/batch16 for all
+pyramid levels' resize+convs. XLA's native NHWC convolutions beat a
+manual einsum decomposition even though NHWC puts the tiny channel counts
+on lanes; together with the round-2 HBM-im2col negative (commit 7c5ef00)
+this pins the requirement: beating XLA here needs VMEM-resident fusion
+(detectors/mtcnn/pallas_pnet.py), not an XLA-level relayout.
+
+Self-contained: the candidate implementation lives in this file.
 Run on the real chip: python tools/try_fast_pnet.py
 """
 
@@ -30,8 +39,74 @@ def main():
     import jax.numpy as jnp
 
     from facenet_tpu.detectors.mtcnn.cascade import MTCNN
-    from facenet_tpu.detectors.mtcnn import fast_pnet
     from facenet_tpu.detectors.mtcnn.networks import normalize_crops
+
+    class fast_pnet:
+        """Candidate (rejected) implementation — see module docstring."""
+
+        @staticmethod
+        def conv_shifted(x, kernel, out_dtype=None):
+            kh, kw, ci, co = kernel.shape
+            h_out = x.shape[2] - kh + 1
+            w_out = x.shape[3] - kw + 1
+            acc = None
+            for dy in range(kh):
+                for dx in range(kw):
+                    term = jnp.einsum(
+                        'oc,bcyx->boyx', kernel[dy, dx].T,
+                        x[:, :, dy:dy + h_out, dx:dx + w_out],
+                        preferred_element_type=jnp.float32)
+                    acc = term if acc is None else acc + term
+            return acc.astype(out_dtype) if out_dtype is not None else acc
+
+        @staticmethod
+        def prelu_nchw(x, alpha):
+            a = alpha.astype(x.dtype)[None, :, None, None]
+            return jnp.where(x >= 0, x, a * x)
+
+        @staticmethod
+        def maxpool2_nchw(x):
+            b, c, h, w = x.shape
+            ph, pw = (-h) % 2, (-w) % 2
+            if ph or pw:
+                x = jnp.pad(x, ((0, 0), (0, 0), (0, ph), (0, pw)),
+                            constant_values=-jnp.inf)
+            h2, w2 = x.shape[2] // 2, x.shape[3] // 2
+            return x.reshape(b, c, h2, 2, w2, 2).max(axis=(3, 5))
+
+        @staticmethod
+        def pnet_forward_nchw(params, x, dtype=jnp.bfloat16):
+            f = fast_pnet
+            x = x.astype(dtype)
+            x = f.conv_shifted(x, params['conv1']['kernel'].astype(dtype),
+                               dtype)
+            x = x + params['conv1']['bias'].astype(dtype)[None, :, None,
+                                                          None]
+            x = f.prelu_nchw(x, params['prelu1']['alpha'])
+            x = f.maxpool2_nchw(x)
+            x = f.conv_shifted(x, params['conv2']['kernel'].astype(dtype),
+                               dtype)
+            x = x + params['conv2']['bias'].astype(dtype)[None, :, None,
+                                                          None]
+            x = f.prelu_nchw(x, params['prelu2']['alpha'])
+            x = f.conv_shifted(x, params['conv3']['kernel'].astype(dtype),
+                               dtype)
+            x = x + params['conv3']['bias'].astype(dtype)[None, :, None,
+                                                          None]
+            x = f.prelu_nchw(x, params['prelu3']['alpha'])
+            cls = f.conv_shifted(x, params['cls']['kernel'].astype(dtype))
+            cls = cls + params['cls']['bias'].astype(
+                jnp.float32)[None, :, None, None]
+            reg = f.conv_shifted(x, params['reg']['kernel'].astype(dtype))
+            reg = reg + params['reg']['bias'].astype(
+                jnp.float32)[None, :, None, None]
+            probs = jnp.exp(cls[:, 1] - jnp.logaddexp(cls[:, 0], cls[:, 1]))
+            return probs, jnp.transpose(reg, (0, 2, 3, 1))
+
+        @staticmethod
+        def resize_nchw(base, v, hm):
+            t = jnp.einsum('iy,bcyx->bcix', v, base)
+            return jnp.einsum('bcix,xj->bcij', t, hm)
 
     det = MTCNN(image_shape=(480, 640))
     params = det.params['pnet']
