@@ -272,15 +272,24 @@ class MTCNN:
         }
 
     # ------------------------------------------------------------------
-    def detect_batch(self, images):
-        """Detect faces in a uint8 [B, H, W, 3] batch (H, W must match
-        image_shape; letterbox first via `letterbox_batch` if needed)."""
+    def detect_batch_async(self, images):
+        """Dispatch the cascade on a uint8 [B, H, W, 3] batch and return
+        the on-device output dict WITHOUT waiting for it.
+
+        JAX's async dispatch returns as soon as the transfer + computation
+        are enqueued, so a caller can keep decoding/transferring batch
+        n+1 while batch n runs (detect_files pipelines this two deep).
+        Pass the result to `finalize_batch` to fetch host arrays."""
         images = jnp.asarray(images)
         if images.shape[1:3] != self.image_shape:
             raise ValueError(
                 f'expected {self.image_shape} images, got {images.shape[1:3]}'
                 ' — use letterbox_batch()')
-        out = jax.device_get(self._detect_jit(self.params, images))
+        return self._detect_jit(self.params, images)
+
+    def finalize_batch(self, out_device):
+        """Fetch a `detect_batch_async` result and report capacity drops."""
+        out = jax.device_get(out_device)
         dropped = {stage: int(counts.sum())
                    for stage, counts in out['overflow'].items()
                    if counts.sum() > 0}
@@ -291,6 +300,11 @@ class MTCNN:
                 '(raise max_proposals/max_refined/max_outputs for dense '
                 'scenes)', dropped)
         return out
+
+    def detect_batch(self, images):
+        """Detect faces in a uint8 [B, H, W, 3] batch (H, W must match
+        image_shape; letterbox first via `letterbox_batch` if needed)."""
+        return self.finalize_batch(self.detect_batch_async(images))
 
     def align_batch(self, images, landmarks, out_size=160):
         """Landmark-based alignment of detected faces (one face per image)."""
