@@ -21,6 +21,26 @@ The result is bit-compatible with `model.apply(..., train=False)` up to
 bf16 rounding (tests/test_irv1_fast.py asserts closeness), and is the
 path `bench.py` and the serving runtime use. Works for any IRv1 config
 (repeats / output size); raises KeyError on a non-IRv1 parameter tree.
+
+MEASURED NEGATIVE (round 3, stem relayout — don't redo): per-stage
+attribution (tools/profile_embed.py, chunk=128 bf16, v5e) puts
+preprocessing+stem at 1.8 of 3.4 ms/chunk; the 3/32/64-channel stem
+tensors pay feature-minor lane padding, so a 4x4-block relayout
+(channels = 2x2 position x feature = 128/256 wide, zero padding;
+normalization folded into conv1's epilogue) was built and proven exact
+(tools/try_block_stem.py). It is SLOWER everywhere (tools/
+try_block_stem2.py piecewise, ms/chunk): conv1 s2d 0.47 vs block 0.53 /
+shifted-matmul 1.07; conv2ab std 1.32 vs block 1.97 / matmul 4.48; pool
+reduce_window 1.51 vs 9-shifted-max 3.16. The fused XLA stem (1.31
+ms/chunk for conv1..4b TOTAL) already beats the SUM of its isolated
+parts — XLA picks low-channel conv layouts and fusions that the manual
+block form forfeits. Flat-view [B,-1] preprocessing reductions are
+likewise end-to-end neutral (39.6k vs 39.9k img/s, tunnel noise): the
+reduce fuses into the uint8 read either way. Conclusion: the serving
+forward is within ~25% of its HBM/MXU bound at 40k img/s single-chip;
+remaining headroom is a full VMEM-resident Pallas stem (est. ceiling
+~43k img/s end-to-end) whose cost/risk the P-Net record
+(detectors/mtcnn/pallas_pnet.py) prices as high.
 """
 
 from __future__ import annotations
