@@ -35,14 +35,14 @@ def _render_scene_class(job):
 
     from facenet_tpu.utils.synthetic import render_scene
 
-    root, class_id, label, n_scenes, seed = job
+    root, class_id, label, n_scenes, seed, hard = job
     rng = np.random.RandomState(seed)
     cls_dir = Path(root) / f'person_{label:04d}'
     cls_dir.mkdir(parents=True, exist_ok=True)
     for i in range(n_scenes):
         img, boxes, _ = render_scene(rng, shape=(240, 240), n_faces=1,
                                      identities=[class_id],
-                                     min_face=100, max_face=200)
+                                     min_face=100, max_face=200, hard=hard)
         Image.fromarray(img).save(cls_dir / f's{i:03d}.png')
     return label
 
@@ -57,6 +57,9 @@ def main():
     ap.add_argument('--batch-size', type=int, default=128)
     ap.add_argument('--out', type=Path, default=Path('models'))
     ap.add_argument('--data-dir', type=Path, default=None)
+    ap.add_argument('--hard', action='store_true',
+                    help='de-saturated identities (archetype+delta, extra '
+                         'nuisance) so the chain accuracy is off-ceiling')
     args = ap.parse_args()
 
     import yaml
@@ -70,7 +73,8 @@ def main():
         print(f'rendering {args.classes} classes x {args.scenes_per_class} '
               f'raw 240x240 scenes -> {raw_dir}', flush=True)
         t0 = time.time()
-        jobs = [(str(raw_dir), c, c, args.scenes_per_class, 5_000 + c)
+        jobs = [(str(raw_dir), c, c, args.scenes_per_class, 5_000 + c,
+                 args.hard)
                 for c in range(args.classes)]
         with ProcessPoolExecutor(max_workers=8) as pool:
             list(pool.map(_render_scene_class, jobs, chunksize=4))
@@ -85,7 +89,7 @@ def main():
         print(f'rendering eval scenes: {args.eval_classes} unseen classes '
               f'x {args.eval_images_per_class}', flush=True)
         jobs = [(str(eval_raw), 2 * 10 ** 6 + c, c,
-                 args.eval_images_per_class, 9_000_000 + c)
+                 args.eval_images_per_class, 9_000_000 + c, args.hard)
                 for c in range(args.eval_classes)]
         with ProcessPoolExecutor(max_workers=8) as pool:
             list(pool.map(_render_scene_class, jobs, chunksize=4))
@@ -173,7 +177,8 @@ def main():
     # 4. commit-able evidence
     run_dir = Path(str(cfg.model.path))
     logs_src = Path(str(cfg.logs.dir))
-    dest = args.out / (run_dir.name + '-detectchain') / 'logs'
+    dest = args.out / (run_dir.name + '-detectchain'
+                       + ('-hard' if args.hard else '')) / 'logs'
     dest.mkdir(parents=True, exist_ok=True)
     for f in logs_src.glob('*'):
         if f.is_file():
