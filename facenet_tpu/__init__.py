@@ -84,21 +84,62 @@ class FaceNet:
         elif type(model).__name__ == 'InceptionResnetV2':
             from facenet_tpu.models.irv2_fast import \
                 FastEmbedderV2 as fast_cls
+        quantize = str(config.quantize) if config.exists('quantize') \
+            else None
         if fast_cls is not None:
             try:
+                kwargs = {}
+                if quantize:
+                    # int8 serving (models/quantize.py): calibration
+                    # images come from `config.calib` (array, or a
+                    # directory of images — up to 64 are loaded)
+                    kwargs = {'quantize': quantize,
+                              'calib_images': self._calib_batch(config)}
                 self._forward = fast_cls(
                     self.variables, config=model.config,
                     image_size=model.image_size,
                     normalization=model.normalization,
-                    normalize=normalize)
+                    normalize=normalize, **kwargs)
             except Exception as exc:
+                if quantize:
+                    raise
                 from facenet_tpu.logging import logger
                 logger.warning(f'fast serving path unavailable ({exc}); '
                                'falling back to model.apply')
+        elif quantize:
+            raise ValueError(
+                f'quantize={quantize!r} needs a fused fast path; '
+                f'{type(model).__name__} serves via generic model.apply')
         if self._forward is None:
             self._forward = jax.jit(
                 lambda images: model.apply(self.variables, images,
                                            train=False, normalize=normalize))
+
+    @staticmethod
+    def _calib_batch(config, limit=64):
+        """Representative uint8 batch for int8 calibration.
+
+        `config.calib` may be an array-like batch or a directory of
+        images (resized to the model's input on load).
+        """
+        calib = config.calib if config.exists('calib') else None
+        if calib is None:
+            raise ValueError("quantize='int8' needs config.calib: a "
+                             'uint8 image batch or a directory of '
+                             'representative images')
+        if isinstance(calib, (str, Path)):
+            from PIL import Image
+            paths = sorted(p for p in Path(calib).expanduser().rglob('*')
+                           if p.suffix.lower() in
+                           ('.png', '.jpg', '.jpeg', '.bmp'))
+            if not paths:
+                raise ValueError(f'no calibration images under {calib}')
+            # spread the sample across the directory (≈across classes)
+            step = max(len(paths) // limit, 1)
+            paths = paths[::step][:limit]
+            return np.stack([np.asarray(Image.open(p).convert('RGB'))
+                             for p in paths])
+        return np.asarray(calib, dtype=np.uint8)
 
     @property
     def embedding_size(self):

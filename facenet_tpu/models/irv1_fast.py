@@ -189,6 +189,22 @@ def build_fast_params(variables, config=None, dtype=jnp.bfloat16):
 
 
 def _conv(x, w, stride=1, padding='SAME'):
+    if 'kq' in w:
+        # int8 serving entry (models/quantize.py): symmetric per-tensor
+        # activation scale xs, per-output-channel weight scale ws; the
+        # MXU contracts int8 x int8 -> int32 at 2x its bf16 rate and the
+        # quantize/dequantize affines fuse into the neighbouring ops.
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / w['xs']),
+                      -127.0, 127.0).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            xq, w['kq'], window_strides=(stride, stride), padding=padding,
+            dimension_numbers=_DN, preferred_element_type=jnp.int32)
+        yf = y.astype(jnp.float32) * (w['ws'] * w['xs']) + w['b']
+        return yf.astype(x.dtype)
+    if 'tag' in w:
+        from facenet_tpu.models.quantize import _Calibration
+        if _Calibration.active is not None:
+            _Calibration.active.record(w['tag'], x)
     return jax.lax.conv_general_dilated(
         x, w['k'], window_strides=(stride, stride), padding=padding,
         dimension_numbers=_DN) + w['b']
@@ -299,11 +315,22 @@ class FastEmbedder:
     """Jitted fused forward bound to one trained parameter set."""
 
     def __init__(self, variables, config=None, image_size=160,
-                 normalization=0, dtype=jnp.bfloat16, normalize=True):
+                 normalization=0, dtype=jnp.bfloat16, normalize=True,
+                 quantize=None, calib_images=None):
         self.params, self.cfg = build_fast_params(variables, config, dtype)
         self.image_size = int(image_size)
         self.normalization = int(normalization)
         self.normalize = bool(normalize)
+        if quantize:
+            if quantize != 'int8':
+                raise ValueError(f'unknown quantize mode {quantize!r}')
+            if calib_images is None:
+                raise ValueError('quantize="int8" needs calib_images '
+                                 '(a representative uint8 batch)')
+            from facenet_tpu.models.quantize import quantize_fast_params
+            self.params = quantize_fast_params(
+                self.params, self.cfg, calib_images, self.image_size,
+                self.normalization)
         cfg = self.cfg
 
         def fwd(params, images):

@@ -220,11 +220,24 @@ class FastEmbedderV2:
     """Jitted fused IRv2 forward bound to one trained parameter set."""
 
     def __init__(self, variables, config=None, image_size=160,
-                 normalization=0, dtype=jnp.bfloat16, normalize=True):
+                 normalization=0, dtype=jnp.bfloat16, normalize=True,
+                 quantize=None, calib_images=None):
         self.params, self.cfg = build_fast_params(variables, config, dtype)
         self.image_size = int(image_size)
         self.normalization = int(normalization)
         self.normalize = bool(normalize)
+        if quantize:
+            # same int8 entries + _conv dispatch as the IRv1 path (the
+            # conv helpers are shared); see models/quantize.py
+            if quantize != 'int8':
+                raise ValueError(f'unknown quantize mode {quantize!r}')
+            if calib_images is None:
+                raise ValueError('quantize="int8" needs calib_images '
+                                 '(a representative uint8 batch)')
+            from facenet_tpu.models.quantize import quantize_fast_params
+            self.params = quantize_fast_params(
+                self.params, self.cfg, calib_images, self.image_size,
+                self.normalization, forward=fast_forward)
         cfg = self.cfg
 
         def fwd(params, images):
