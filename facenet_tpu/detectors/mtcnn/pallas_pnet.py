@@ -30,6 +30,11 @@ XLA baseline 4.2 ms; all-levels resize+convs baseline 7.5 ms):
     16-row slab loads, channel-group passes): 8.9 ms — the per-tap
     scalar SMEM weight reads + broadcasts inside the fori bodies
     serialize the VPU (~1.25M scalar broadcasts per batch).
+  * Int8 quantization of the trunk (tools/try_int8_pnet.py, round 3):
+    0.77x at level 0, 0.96x at level 2 — unlike the embedding net
+    (where int8 is 1.24-1.32x end-to-end), the quantize/requantize
+    elementwise passes over the 42x lane-padded 3..32-channel tensors
+    cost more than the int8 element width saves.
 
 Next viable design (unimplemented, est. ~1.5x stage-level at best): build
 a [K, w_out] patch matrix per 8-row band via [1, w] row-segment writes

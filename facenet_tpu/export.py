@@ -109,7 +109,8 @@ def load_model(path):
     return ModelBundle(model=model, variables=variables, meta=meta)
 
 
-def save_compiled(path, model, variables, platforms=('cpu', 'tpu')):
+def save_compiled(path, model, variables, platforms=('cpu', 'tpu'),
+                  quantize=None, calib_images=None):
     """Serialize the inference forward as a self-contained StableHLO module.
 
     The TPU-native analogue of the reference's frozen .pb with
@@ -118,6 +119,11 @@ def save_compiled(path, model, variables, platforms=('cpu', 'tpu')):
     as constants and the batch dimension is symbolic, so the artifact runs
     ANY batch size on any listed platform with nothing but jax installed —
     no facenet_tpu, no model class, no params file (see `load_compiled`).
+
+    With quantize='int8' (+ a representative `calib_images` uint8 batch)
+    the serialized graph is the int8 serving path (models/quantize.py):
+    int8 weight constants, quantize/dequantize affines inline — the
+    artifact stays self-contained and ~4x smaller in weight bytes.
 
     Returns the artifact path (<path>/model.stablehlo).
     """
@@ -143,13 +149,27 @@ def save_compiled(path, model, variables, platforms=('cpu', 'tpu')):
         try:
             fparams, fcfg = fast_mod.build_fast_params(variables,
                                                        model.config)
+            if quantize:
+                if quantize != 'int8':
+                    raise ValueError(f'unknown quantize mode {quantize!r}')
+                if calib_images is None:
+                    raise ValueError('quantize="int8" needs calib_images')
+                from facenet_tpu.models.quantize import quantize_fast_params
+                fparams = quantize_fast_params(
+                    fparams, fcfg, calib_images, model.image_size,
+                    model.normalization, forward=fast_mod.fast_forward)
 
             def forward(images):
                 return fast_mod.fast_forward(fparams, fcfg, images,
                                              model.image_size,
                                              model.normalization)
         except Exception:
+            if quantize:
+                raise
             forward = None
+    elif quantize:
+        raise ValueError(f'quantize={quantize!r} needs a fused fast path; '
+                         f'{type(model).__name__} has none')
     if forward is None:
         def forward(images):
             return model.apply(variables, images, train=False)

@@ -81,6 +81,32 @@ np.save({str(tmp_path / 'out.npy')!r}, np.asarray(out))
     np.testing.assert_allclose(got, want, atol=5e-3)
 
 
+def test_int8_compiled_artifact(tmp_path, tiny_model_and_vars):
+    """quantize='int8' serializes the int8 serving graph: int8 constants
+    in the module, embeddings close to the float artifact's."""
+    model, variables = tiny_model_and_vars
+    rng = np.random.RandomState(2)
+    calib = rng.randint(0, 256, (8, 160, 160, 3), np.uint8)
+    artifact = export.save_compiled(tmp_path / 'q', model, variables,
+                                    platforms=('cpu',), quantize='int8',
+                                    calib_images=calib)
+    assert artifact.exists()
+    compiled = export.load_compiled(tmp_path / 'q')
+    assert 'i8' in compiled.mlir_module()
+
+    imgs = rng.randint(0, 256, (3, 160, 160, 3), np.uint8)
+    got = np.asarray(compiled(imgs))
+    want = np.asarray(model.apply(variables, imgs, train=False))
+    assert got.shape == (3, 32)
+    np.testing.assert_allclose(np.linalg.norm(got, axis=1), 1.0, atol=1e-5)
+    cos = np.sum(got * want, axis=1)
+    assert cos.min() > 0.95, cos
+
+    with pytest.raises(ValueError):
+        export.save_compiled(tmp_path / 'q2', model, variables,
+                             platforms=('cpu',), quantize='int8')
+
+
 def test_op_histogram_names_convolutions(tmp_path, tiny_model_and_vars):
     model, variables = tiny_model_and_vars
     export.save_compiled(tmp_path, model, variables, platforms=('cpu',))
