@@ -76,7 +76,8 @@ class MTCNN:
     def __init__(self, image_shape=(480, 640), min_face_size=20,
                  factor=0.709, thresholds=(0.6, 0.7, 0.7),
                  max_proposals=256, max_refined=64, max_outputs=32,
-                 params=None, seed=0, dtype=jnp.bfloat16):
+                 params=None, seed=0, dtype=jnp.bfloat16,
+                 pnet_impl='auto'):
         self.image_shape = (int(image_shape[0]), int(image_shape[1]))
         self.min_face_size = min_face_size
         self.factor = factor
@@ -109,6 +110,27 @@ class MTCNN:
         # matches to dtype rounding.
         self._resize_mats = [
             self._level_resize_matrices(scale) for scale in self.scales]
+
+        # P-Net backend: 'flat' = the Pallas flat-lane MXU kernel
+        # (pallas_pnet.py v3 — measured ~5x the XLA convs on v5e);
+        # 'flax' = the XLA conv path; 'auto' picks flat on TPU.
+        # 'flat-interpret' runs the kernel in interpret mode (tests).
+        if pnet_impl == 'auto':
+            import jax as _jax
+            pnet_impl = 'flat' if _jax.default_backend() == 'tpu' \
+                else 'flax'
+        if pnet_impl not in ('flat', 'flax', 'flat-interpret'):
+            raise ValueError(f'unknown pnet_impl {pnet_impl!r}')
+        self.pnet_impl = pnet_impl
+        # per-level 128-padded widths + padded H-resize matrices for the
+        # flat kernel (zero columns beyond the true scaled width)
+        self._flat_geom = []
+        self._flat_hm = []
+        for (v, hm), scale in zip(self._resize_mats, self.scales):
+            sh, sw = v.shape[0], hm.shape[1]
+            sw_pad = -(-sw // 128) * 128
+            self._flat_geom.append((sh, sw_pad, sw))
+            self._flat_hm.append(jnp.pad(hm, ((0, 0), (0, sw_pad - sw))))
 
         self.params = params if params is not None else self.init_params(seed)
         self._detect_jit = jax.jit(self._detect)
@@ -148,10 +170,26 @@ class MTCNN:
         scale = self.scales[level]
         v, hm = self._resize_mats[level]
 
-        # V [sh, H] x base [B, H, W, 3] x Hm [W, sw] -> [B, sh, sw, 3]
-        t = jnp.einsum('iy,byxc->bixc', v, base_norm)
-        scaled = jnp.einsum('bixc,xj->bijc', t, hm)
-        probs, reg = self.pnet.apply({'params': params['pnet']}, scaled)
+        if self.pnet_impl != 'flax':
+            # flat-lane Pallas P-Net (pallas_pnet.py v3): the H-resize
+            # matmul emits CHANNEL PLANES directly ('bixc,xj->bcij'),
+            # so the [C, H*W] layout the kernel wants costs nothing —
+            # the NHWC->planes relayout would otherwise eat ~2.7 ms of
+            # the ~3.2 ms the kernel saves (tools/try_pnet_v3.py)
+            from facenet_tpu.detectors.mtcnn.pallas_pnet import (
+                pack_v3, pnet_forward_flat)
+            sh, sw_pad, sw_true = self._flat_geom[level]
+            t = jnp.einsum('iy,byxc->bixc', v, base_norm)
+            planes = jnp.einsum('bixc,xj->bcij', t, self._flat_hm[level])
+            planes = planes.reshape(planes.shape[0], 3, sh * sw_pad)
+            probs, reg = pnet_forward_flat(
+                pack_v3(params['pnet']), planes, sh, sw_pad, sw_true,
+                interpret=self.pnet_impl == 'flat-interpret')
+        else:
+            # V [sh, H] x base [B, H, W, 3] x Hm [W, sw] -> [B, sh, sw, 3]
+            t = jnp.einsum('iy,byxc->bixc', v, base_norm)
+            scaled = jnp.einsum('bixc,xj->bijc', t, hm)
+            probs, reg = self.pnet.apply({'params': params['pnet']}, scaled)
         # probs: [B, gh, gw]; each cell -> 12x12 window at stride 2 in the
         # scaled image -> divide by scale for original coordinates
         b, gh, gw = probs.shape

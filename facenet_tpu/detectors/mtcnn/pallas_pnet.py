@@ -1,8 +1,10 @@
 """Fused Pallas P-Net: conv1+PReLU+pool+conv2+conv3+heads in VMEM.
 
-STATUS (round 3): numerically exact, NOT YET faster than XLA — kept as
-infrastructure with the full measured-negative record below. The cascade
-still runs the flax/XLA path.
+STATUS (round 3): the v3 flat-lane kernel at the bottom of this file
+BEATS the XLA path (~5x at level-0 kernel time, tools/try_pnet_v3.py)
+and is the cascade's production P-Net on TPU (cascade.py pnet_impl).
+The v1/v2 kernels above it are kept as the measured-negative record of
+the campaign; the flax/XLA path remains the CPU/test backend.
 
 Why attempted (VERDICT r2 next #1): P-Net's channel counts (3 -> 10 ->
 16 -> 32) are tiny, and TPU feature-minor conv layouts pad them to 128
@@ -313,3 +315,238 @@ def pnet_forward_pallas(weights, x_nchw, interpret=False):
     probs, reg = _run(x, *[jnp.asarray(weights[k]) for k in WEIGHT_KEYS],
                       interpret=interpret)
     return probs, jnp.transpose(reg, (0, 2, 3, 1))
+
+
+# ===========================================================================
+# v3: flat-lane layout + MXU patch matmuls — the production kernel
+# ===========================================================================
+#
+# Third design of the campaign, and the first to BEAT the XLA path:
+# measured 0.65 ms/batch16 kernel time at level-0 geometry vs 3.8 ms for
+# the XLA convs (tools/try_pnet_v3.py; 3.35 ms when the [B,H,W,3] ->
+# [C, H*W] relayout runs in XLA — the cascade avoids that entirely by
+# having the pyramid-resize matmuls emit channel planes directly).
+#
+#   * activations are [C_pad, H*W]: C on sublanes, the whole image
+#     flattened on the LANE dim. A (dy, dx) tap is a static lane slice
+#     at offset dy*W + dx; W is padded to a multiple of 128 so the
+#     dy*W part keeps loads 128-aligned, and the +dx shift happens
+#     in-register (lane rotate + select) on a chunk+128 over-read.
+#   * patches stack into a [9*C_pad, chunk] VMEM buffer at 8-aligned
+#     sublane offsets; each conv is ONE [co_pad, K] @ [K, chunk] MXU
+#     dot per chunk (K = 72/144/144). Accumulating 9 small-K dots
+#     instead measured 0.64x — patch-buffer + big-K dot wins.
+#   * the 2x2/s2 SAME maxpool is H-COMPACTED on the fly: pooled row p
+#     reads raw rows 2p/2p+1 (row indexing is free in the flat layout)
+#     and writes contiguously, halving conv2/3's grid. W stays dilated
+#     (even lanes valid); the head grid is extracted with one strided
+#     slice in XLA. Full W-dilation measured 0.74x.
+#   * conv1's epilogue folds the validity mask (v*m + NEG*(1-m)) so the
+#     pool's edge windows never see garbage; bf16 COMPARES do not lower
+#     on this Mosaic target, hence the arithmetic select.
+#   * default scoped VMEM is 16 MB; CompilerParams.vmem_limit_bytes
+#     raises it for the full-image scratch buffers.
+
+_NEG = -1e9
+
+
+def _round128(n):
+    return -(-n // 128) * 128
+
+
+def pack_v3(params):
+    """Flax PNet params -> packed arrays for the flat kernel.
+
+    Conv kernels become [co_pad, 9 * ci_pad] dot operands (tap-major,
+    zero-filled on channel padding); biases/alphas become [co_pad, 1]
+    columns broadcast over lanes. Pure jnp so it traces inside the
+    cascade's jitted detect (params are jit arguments, not constants).
+    """
+    def p3(w, ci_pad, co_pad):
+        w = jnp.asarray(w, jnp.float32)
+        kh, kw, ci, co = w.shape
+        out = jnp.transpose(w, (3, 0, 1, 2))          # [co, kh, kw, ci]
+        out = jnp.pad(out, ((0, co_pad - co), (0, 0), (0, 0),
+                            (0, ci_pad - ci)))
+        return out.reshape(co_pad, kh * kw * ci_pad).astype(jnp.bfloat16)
+
+    def pcol(v, n):
+        v = jnp.asarray(v, jnp.float32).reshape(-1, 1)
+        return jnp.pad(v, ((0, n - v.shape[0]), (0, 0)))
+
+    wh = jnp.concatenate([jnp.asarray(params['cls']['kernel'], jnp.float32),
+                          jnp.asarray(params['reg']['kernel'], jnp.float32)],
+                         axis=-1)                      # [1, 1, 32, 6]
+    bh = jnp.concatenate([jnp.asarray(params['cls']['bias'], jnp.float32),
+                          jnp.asarray(params['reg']['bias'], jnp.float32)])
+    return {
+        'w1': p3(params['conv1']['kernel'], 8, 16),
+        'b1': pcol(params['conv1']['bias'], 16),
+        'a1': pcol(params['prelu1']['alpha'], 16),
+        'w2': p3(params['conv2']['kernel'], 16, 16),
+        'b2': pcol(params['conv2']['bias'], 16),
+        'a2': pcol(params['prelu2']['alpha'], 16),
+        'w3': p3(params['conv3']['kernel'], 16, 32),
+        'b3': pcol(params['conv3']['bias'], 32),
+        'a3': pcol(params['prelu3']['alpha'], 32),
+        'wh': p3(wh, 32, 8)[:, :32],
+        'bh': pcol(bh, 8),
+    }
+
+
+V3_KEYS = ('w1', 'b1', 'a1', 'w2', 'b2', 'a2', 'w3', 'b3', 'a3',
+           'wh', 'bh')
+
+
+def _v3_geometry(sh, sw):
+    h1 = sh - 2
+    hp = -(-h1 // 2)
+    h3 = hp - 4
+    return h1, hp, h3
+
+
+def _make_v3_kernel(sh, sw, chunk):
+    assert sw % 128 == 0 and chunk % 128 == 0
+    hw = sh * sw
+    h1, hp, h3 = _v3_geometry(sh, sw)
+    hwp = hp * sw
+
+    def n_chunks(n):
+        return -(-n // chunk)
+
+    def stage_conv(src_ref, dst_ref, patch_ref, w_ref, b_ref, a_ref,
+                   ci_pad, co_pad, drow, dcol, n_lanes, mask_ref=None):
+        k = 9 * ci_pad
+
+        def body(c, _):
+            off = c * chunk
+            for dy in range(3):
+                base = src_ref[0:ci_pad,
+                               pl.ds(off + dy * drow, chunk + 128)]
+                for dx in range(3):
+                    t = dy * 3 + dx
+                    patch_ref[t * ci_pad:(t + 1) * ci_pad, :] = \
+                        base[:, dx * dcol:dx * dcol + chunk]
+            z = jax.lax.dot_general(
+                w_ref[...], patch_ref[0:k, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            z = z + b_ref[...]
+            z = jnp.where(z >= 0, z, a_ref[...] * z)
+            z = z.astype(jnp.bfloat16)
+            if mask_ref is not None:
+                m = mask_ref[0:1, pl.ds(off, chunk)]
+                z = z * m + jnp.bfloat16(_NEG) * (jnp.bfloat16(1.0) - m)
+            dst_ref[0:co_pad, pl.ds(off, chunk)] = z
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks(n_lanes), body, 0, unroll=False)
+
+    def kernel(x_ref, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
+               w3_ref, b3_ref, a3_ref, wh_ref, bh_ref, mask1_ref,
+               out_ref, c1_ref, cp_ref, c2_ref, c3_ref, patch_ref):
+        stage_conv(x_ref.at[0], c1_ref, patch_ref, w1_ref, b1_ref,
+                   a1_ref, 8, 16, sw, 1, hw, mask_ref=mask1_ref)
+
+        def pool_body(p, _):
+            a = c1_ref[0:16, pl.ds(2 * p * sw, 2 * sw + 128)]
+            v = jnp.maximum(
+                jnp.maximum(a[:, 0:sw], a[:, 1:sw + 1]),
+                jnp.maximum(a[:, sw:2 * sw], a[:, sw + 1:2 * sw + 1]))
+            cp_ref[0:16, pl.ds(p * sw, sw)] = v
+            return 0
+
+        jax.lax.fori_loop(0, hp, pool_body, 0, unroll=False)
+
+        stage_conv(cp_ref, c2_ref, patch_ref, w2_ref, b2_ref, a2_ref,
+                   16, 16, sw, 2, hwp)
+        stage_conv(c2_ref, c3_ref, patch_ref, w3_ref, b3_ref, a3_ref,
+                   16, 32, sw, 2, hwp)
+
+        def head_body(c, _):
+            off = c * chunk
+            z = jax.lax.dot_general(
+                wh_ref[...], c3_ref[0:32, pl.ds(off, chunk)],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            out_ref[0, 0:8, pl.ds(off, chunk)] = z + bh_ref[...]
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks(hwp), head_body, 0, unroll=False)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=('sh', 'sw', 'true_sw', 'interpret',
+                                   'chunk'))
+def _v3_run(planes, w1, b1, a1, w2, b2, a2, w3, b3, a3, wh, bh,
+            sh, sw, true_sw, interpret=False, chunk=16384):
+    """[B, 3, sh*sw] channel planes -> (probs, reg) head grids.
+
+    `sw` is the 128-padded level width, `true_sw` the real scaled width
+    (garbage columns beyond it are masked out of the pool and sliced
+    off the head grid).
+    """
+    b = planes.shape[0]
+    hw = sh * sw
+    chunk = min(chunk, _round128(hw))
+    h1, hp, h3 = _v3_geometry(sh, sw)
+    w1v = true_sw - 2
+    wpv = -(-w1v // 2)
+    w3v = wpv - 4
+    hw_pad = -(-hw // chunk) * chunk + 2 * sw + 256
+
+    xf = jnp.pad(planes.astype(jnp.bfloat16),
+                 ((0, 0), (0, 5), (0, hw_pad - hw)))
+
+    yy, xx = jnp.divmod(jnp.arange(hw), sw)
+    m1 = ((yy < h1) & (xx < w1v)).astype(jnp.bfloat16).reshape(1, hw)
+    m1 = jnp.pad(m1, ((0, 0), (0, hw_pad - hw)))
+
+    kernel = _make_v3_kernel(sh, sw, chunk)
+    weights = (w1, b1, a1, w2, b2, a2, w3, b3, a3, wh, bh)
+    vspec = [pl.BlockSpec(w.shape, lambda bb, n=w.ndim: (0,) * n,
+                          memory_space=pltpu.VMEM) for w in weights]
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, 8, hw_pad), lambda bb: (bb, 0, 0),
+                               memory_space=pltpu.VMEM)] + vspec +
+                 [pl.BlockSpec((1, hw_pad), lambda bb: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 8, hw_pad), lambda bb: (bb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 8, hw_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((16, hw_pad), jnp.bfloat16),   # c1
+            pltpu.VMEM((16, hw_pad), jnp.bfloat16),   # pooled (compact H)
+            pltpu.VMEM((16, hw_pad), jnp.bfloat16),   # c2
+            pltpu.VMEM((32, hw_pad), jnp.bfloat16),   # c3
+            pltpu.VMEM((144, chunk), jnp.bfloat16),   # patch
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(xf, *weights, m1)
+
+    heads = out[:, :6, :hp * sw].reshape(b, 6, hp, sw)
+    heads = heads[:, :, 0:h3, 0:2 * w3v:2]            # [B, 6, h3, w3v]
+    z0, z1 = heads[:, 0], heads[:, 1]
+    m = jnp.maximum(z0, z1)
+    e0, e1 = jnp.exp(z0 - m), jnp.exp(z1 - m)
+    probs = e1 / (e0 + e1)
+    reg = jnp.transpose(heads[:, 2:6], (0, 2, 3, 1))
+    return probs, reg
+
+
+def pnet_forward_flat(packed, planes, sh, sw, true_sw, interpret=False):
+    """Cascade-facing wrapper: channel planes -> (probs, reg).
+
+    :param packed: pack_v3(params['pnet']) output
+    :param planes: [B, 3, sh*sw] normalized level image in flat plane
+        layout (the pyramid-resize matmuls emit this directly)
+    :returns: (probs [B, gh, gw] f32, reg [B, gh, gw, 4] f32) — the
+        same contract as networks.PNet.__call__
+    """
+    return _v3_run(planes, *[packed[k] for k in V3_KEYS],
+                   sh=sh, sw=sw, true_sw=true_sw, interpret=interpret)

@@ -55,3 +55,76 @@ def test_pack_weights_shapes(pnet_params):
     assert w['w3'].shape == (144, 32)
     assert w['wc'].shape == (32, 2) and w['wr'].shape == (32, 4)
     assert all(w[k].dtype == np.float32 for k in pallas_pnet.WEIGHT_KEYS)
+
+
+# ---------------------------------------------------------------------------
+# v3 flat-lane kernel (the production cascade path on TPU)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize('shape', [(24, 100), (61, 83), (40, 129)])
+def test_v3_flat_matches_flax(pnet_params, shape):
+    """The flat-lane kernel must agree with the flax P-Net on arbitrary
+    level geometry, including non-128-multiple widths (lane padding +
+    validity masking) and garbage beyond the true width."""
+    net, params = pnet_params
+    sh, true_sw = shape
+    sw = -(-true_sw // 128) * 128
+
+    rng = np.random.RandomState(1)
+    x = rng.randint(0, 256, (2, sh, true_sw, 3)).astype(np.float32)
+    xn = np.asarray(normalize_crops(jnp.asarray(x)))
+    p_ref, r_ref = net.apply({'params': params}, xn)
+
+    # flat planes: [B, 3, sh*sw] with garbage (not zeros) past true_sw
+    pad = rng.normal(0, 3, (2, sh, sw, 3)).astype(np.float32)
+    pad[:, :, :true_sw, :] = xn
+    planes = np.transpose(pad, (0, 3, 1, 2)).reshape(2, 3, sh * sw)
+
+    packed = pallas_pnet.pack_v3(params)
+    p_new, r_new = pallas_pnet.pnet_forward_flat(
+        packed, jnp.asarray(planes), sh, sw, true_sw, interpret=True)
+
+    assert p_new.shape == p_ref.shape and r_new.shape == r_ref.shape
+    assert float(jnp.max(jnp.abs(p_ref - p_new))) < 0.02
+    assert float(jnp.max(jnp.abs(r_ref - r_new))) < 0.05
+
+
+def test_pack_v3_shapes(pnet_params):
+    _, params = pnet_params
+    w = pallas_pnet.pack_v3(params)
+    assert w['w1'].shape == (16, 72)
+    assert w['w2'].shape == (16, 144)
+    assert w['w3'].shape == (32, 144)
+    assert w['wh'].shape == (8, 32)
+    assert w['b1'].shape == (16, 1) and w['bh'].shape == (8, 1)
+    for k in pallas_pnet.V3_KEYS:
+        assert k in w
+
+
+def test_cascade_flat_matches_flax_on_scene():
+    """End-to-end cascade equivalence: the flat P-Net backend must find
+    the same faces as the flax backend with the bundled trained weights
+    (boxes within bf16 drift, identical valid sets)."""
+    from facenet_tpu.detectors.mtcnn.cascade import MTCNN
+    from facenet_tpu.detectors.pretrained import load_bundled
+    from facenet_tpu.utils.synthetic import render_scene
+
+    params = load_bundled('mtcnn')
+    rng = np.random.RandomState(5)
+    img, _, _ = render_scene(rng, shape=(192, 192), n_faces=4,
+                             min_face=30, max_face=80)
+    imgs = img[None]
+
+    kw = dict(image_shape=(192, 192), params=params)
+    out_a = MTCNN(pnet_impl='flax', **kw).detect_batch(imgs)
+    out_b = MTCNN(pnet_impl='flat-interpret', **kw).detect_batch(imgs)
+
+    va, vb = np.asarray(out_a['valid']), np.asarray(out_b['valid'])
+    np.testing.assert_array_equal(va, vb)
+    assert va.sum() >= 2  # the scene produces real detections
+    b_a = np.asarray(out_a['boxes'], np.float32)[va]
+    b_b = np.asarray(out_b['boxes'], np.float32)[vb]
+    assert np.abs(b_a - b_b).max() < 1.5
+    s_a = np.asarray(out_a['scores'], np.float32)[va]
+    s_b = np.asarray(out_b['scores'], np.float32)[vb]
+    assert np.abs(s_a - s_b).max() < 0.02
