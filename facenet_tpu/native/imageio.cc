@@ -66,7 +66,20 @@ static void jpeg_error_exit(j_common_ptr cinfo) {
   longjmp(err->setjmp_buffer, 1);
 }
 
-static bool decode_jpeg(const uint8_t* buf, size_t len, Image* out) {
+// target_h/target_w > 0 requests DCT-domain scaled decode: libjpeg decodes
+// at M/8 scale (M in {1,2,4,8} — supported by both classic libjpeg and
+// libjpeg-turbo) nearly for free, so a 1080p source headed for a 480x640
+// letterbox skips ~4-16x of IDCT + color-convert work. The smallest M whose
+// output still covers the needed resolution is chosen, so the following
+// bilinear only ever downsamples (no quality loss vs a full decode).
+// preserve_aspect computes the needed resolution the way letterbox() does
+// (scale = min(th/h, tw/w)); otherwise (th, tw) is needed directly.
+// orig_h/orig_w (optional) report the file's native dimensions, which
+// callers need for letterbox geometry when the decode was scaled.
+static bool decode_jpeg(const uint8_t* buf, size_t len, Image* out,
+                        int target_h = 0, int target_w = 0,
+                        bool preserve_aspect = false,
+                        int* orig_h = nullptr, int* orig_w = nullptr) {
   jpeg_decompress_struct cinfo;
   JpegErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -83,6 +96,28 @@ static bool decode_jpeg(const uint8_t* buf, size_t len, Image* out) {
     return false;
   }
   cinfo.out_color_space = JCS_RGB;
+  if (orig_h) *orig_h = static_cast<int>(cinfo.image_height);
+  if (orig_w) *orig_w = static_cast<int>(cinfo.image_width);
+  if (target_h > 0 && target_w > 0 &&
+      cinfo.image_height > 0 && cinfo.image_width > 0) {
+    int need_h = target_h, need_w = target_w;
+    if (preserve_aspect) {
+      // mirror letterbox(): scale = min(th/h, tw/w), dims = (int)(d*s+.5)
+      const float s =
+          std::min(static_cast<float>(target_h) / cinfo.image_height,
+                   static_cast<float>(target_w) / cinfo.image_width);
+      need_h = static_cast<int>(cinfo.image_height * s + 0.5f);
+      need_w = static_cast<int>(cinfo.image_width * s + 0.5f);
+    }
+    for (int m : {1, 2, 4, 8}) {
+      cinfo.scale_num = static_cast<unsigned>(m);
+      cinfo.scale_denom = 8;
+      jpeg_calc_output_dimensions(&cinfo);
+      if (static_cast<int>(cinfo.output_height) >= need_h &&
+          static_cast<int>(cinfo.output_width) >= need_w)
+        break;
+    }
+  }
   jpeg_start_decompress(&cinfo);
 
   if (!alloc_image(out, cinfo.output_height, cinfo.output_width)) {
@@ -181,13 +216,29 @@ static bool decode_png(const uint8_t* buf, size_t len, Image* out) {
 // Format sniffing + file read.
 // ---------------------------------------------------------------------------
 
-static bool decode_any(const uint8_t* buf, size_t len, Image* out) {
-  if (len >= 3 && buf[0] == 0xFF && buf[1] == 0xD8 && buf[2] == 0xFF)
-    return decode_jpeg(buf, len, out);
-  if (len >= 8 && !png_sig_cmp(buf, 0, 8)) return decode_png(buf, len, out);
-  // Fall through: try JPEG then PNG (some files lack clean magic).
-  if (decode_jpeg(buf, len, out)) return true;
-  return decode_png(buf, len, out);
+// target/aspect hints enable scaled JPEG decode (see decode_jpeg); PNG has
+// no cheap scaled decode, so those files always decode at native size.
+// orig_h/orig_w (when non-null) receive the file's native dimensions.
+static bool decode_any(const uint8_t* buf, size_t len, Image* out,
+                       int target_h = 0, int target_w = 0,
+                       bool preserve_aspect = false,
+                       int* orig_h = nullptr, int* orig_w = nullptr) {
+  if (len >= 3 && buf[0] == 0xFF && buf[1] == 0xD8 && buf[2] == 0xFF) {
+    if (!decode_jpeg(buf, len, out, target_h, target_w, preserve_aspect,
+                     orig_h, orig_w))
+      return false;
+  } else if (len >= 8 && !png_sig_cmp(buf, 0, 8)) {
+    if (!decode_png(buf, len, out)) return false;
+  } else {
+    // Fall through: try JPEG then PNG (some files lack clean magic).
+    if (!decode_jpeg(buf, len, out, target_h, target_w, preserve_aspect,
+                     orig_h, orig_w) &&
+        !decode_png(buf, len, out))
+      return false;
+  }
+  if (orig_h && *orig_h == 0) *orig_h = out->height;
+  if (orig_w && *orig_w == 0) *orig_w = out->width;
+  return true;
 }
 
 static bool read_file(const char* path, std::vector<uint8_t>* out) {
@@ -282,11 +333,19 @@ static void resize_bilinear(const Image& src, int th, int tw, uint8_t* dst) {
 // canvas — the detector-input geometry. The scale/pad formulas MUST match
 // detectors/mtcnn/cascade.py letterbox_geometry: scale = min(th/h, tw/w),
 // scaled dims rounded, pads = (target - scaled) // 2.
-static void letterbox(const Image& src, int th, int tw, uint8_t* dst) {
-  const float scale = std::min(static_cast<float>(th) / src.height,
-                               static_cast<float>(tw) / src.width);
-  int nh = static_cast<int>(src.height * scale + 0.5f);
-  int nw = static_cast<int>(src.width * scale + 0.5f);
+// geom_h/geom_w (when > 0) are the dimensions the scale/pad placement is
+// computed from — the file's NATIVE size when `src` is a scaled decode.
+// Box mapping in Python uses letterbox_geometry(native_h, native_w), so the
+// placement must follow the native dims even when the pixels come from a
+// reduced decode; the bilinear then maps src onto that exact (nh, nw) grid.
+static void letterbox(const Image& src, int th, int tw, uint8_t* dst,
+                      int geom_h = 0, int geom_w = 0) {
+  if (geom_h <= 0) geom_h = src.height;
+  if (geom_w <= 0) geom_w = src.width;
+  const float scale = std::min(static_cast<float>(th) / geom_h,
+                               static_cast<float>(tw) / geom_w);
+  int nh = static_cast<int>(geom_h * scale + 0.5f);
+  int nw = static_cast<int>(geom_w * scale + 0.5f);
   nh = std::max(1, std::min(nh, th));
   nw = std::max(1, std::min(nw, tw));
 
@@ -324,10 +383,19 @@ int fn_decode_image(const char* path, int height, int width, int mode,
   std::vector<uint8_t> raw;
   if (!facenet_native::read_file(path, &raw)) return 0;
   facenet_native::Image img;
-  if (!facenet_native::decode_any(raw.data(), raw.size(), &img)) return 0;
+  int orig_h = 0, orig_w = 0;
+  // Resize/letterbox targets allow a DCT-domain scaled JPEG decode;
+  // crop_or_pad needs native resolution (mode 0 passes no hint).
+  const bool scaled_ok = (mode == 1 || mode == 2);
+  if (!facenet_native::decode_any(raw.data(), raw.size(), &img,
+                                  scaled_ok ? height : 0,
+                                  scaled_ok ? width : 0,
+                                  /*preserve_aspect=*/mode == 2,
+                                  &orig_h, &orig_w))
+    return 0;
   if (img.height <= 0 || img.width <= 0) return 0;
   if (mode == 2)
-    facenet_native::letterbox(img, height, width, out);
+    facenet_native::letterbox(img, height, width, out, orig_h, orig_w);
   else if (mode == 1)
     facenet_native::resize_bilinear(img, height, width, out);
   else

@@ -178,6 +178,38 @@ def test_letterbox_decode_matches_array(tmp_path):
     np.testing.assert_array_equal(via_decode, via_array)
 
 
+def test_letterbox_scaled_jpeg_decode_geometry_exact(tmp_path):
+    """A large JPEG headed for a small letterbox takes the DCT-domain
+    scaled decode (imageio.cc decode_jpeg target hints). The pad placement
+    must stay bit-identical to the full-decode path — box mapping uses
+    letterbox_geometry(native dims) — and the pixels must stay close (the
+    resample chain differs: dct-half + bilinear vs bilinear-from-full)."""
+    from PIL import Image
+    from facenet_tpu import native
+    if not native.available():
+        pytest.skip('native library unavailable')
+    rng = np.random.RandomState(3)
+    # smooth gradient + mild noise: decodes scaled (1016x1532 >> 480x640)
+    yy, xx = np.mgrid[0:1016, 0:1532]
+    img = np.stack([(yy // 4) % 256, (xx // 6) % 256,
+                    ((yy + xx) // 8) % 256], -1).astype(np.uint8)
+    img = np.clip(img.astype(np.int16) +
+                  rng.randint(-8, 8, img.shape), 0, 255).astype(np.uint8)
+    p = tmp_path / 'big.jpg'
+    Image.fromarray(img).save(p, quality=90)
+
+    fast = native.decode_image(str(p), (480, 640),
+                               mode=native.MODE_LETTERBOX)
+    full = native.decode_image_native_size(str(p))
+    assert full.shape == (1016, 1532, 3)
+    slow = native.letterbox_array(full, (480, 640))
+
+    # identical zero-pad rows/cols = identical letterbox placement
+    np.testing.assert_array_equal(fast.any(-1).any(-1), slow.any(-1).any(-1))
+    np.testing.assert_array_equal(fast.any(-1).any(0), slow.any(-1).any(0))
+    assert np.abs(fast.astype(np.float32) - slow.astype(np.float32)).mean() < 6.0
+
+
 def test_probe_is_header_only_and_correct(tmp_path):
     from PIL import Image
     from facenet_tpu import native
