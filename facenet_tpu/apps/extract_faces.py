@@ -6,6 +6,7 @@ through the jitted TPU cascade instead of one sess.run per image
 """
 
 import click
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 import numpy as np
@@ -53,16 +54,26 @@ def _crop_name(base, n):
     return base.parent / f'{base.stem}_{n}{base.suffix}'
 
 
-def _extract_class(cls, detector, options, counters):
+def _extract_class(cls, detector, options, counters, pool):
     """Detect every image of one class in cascade-sized batches and write
-    the aligned crops + face-size records."""
+    the aligned crops + face-size records.
+
+    Decode runs one chunk ahead on `pool` so the host decodes chunk n+1
+    while the device cascade detects chunk n (the crop step needs the
+    full-resolution original, so this path decodes once at native size
+    rather than reusing detect_files' letterboxed stream)."""
     class_dir = options.outdir / cls.name
     ioutils.makedirs(class_dir)
     single_face_only = not bool(options.detect_multiple_faces)
 
-    for start in range(0, cls.nrof_images, DETECT_BATCH):
-        chunk = cls.files[start:start + DETECT_BATCH]
-        arrays, pils, ok_paths, failed = _load_chunk(chunk, detector.mode)
+    chunks = [cls.files[s:s + DETECT_BATCH]
+              for s in range(0, cls.nrof_images, DETECT_BATCH)]
+    pending = pool.submit(_load_chunk, chunks[0], detector.mode) \
+        if chunks else None
+    for i in range(len(chunks)):
+        arrays, pils, ok_paths, failed = pending.result()
+        pending = pool.submit(_load_chunk, chunks[i + 1], detector.mode) \
+            if i + 1 < len(chunks) else None
         counters['unreadable'] += failed
         if not arrays:
             continue
@@ -100,8 +111,9 @@ def main(**options):
     print(detector)
 
     counters = {'faces': 0, 'unreadable': 0}
-    for cls in dbase.classes:
-        _extract_class(cls, detector, options, counters)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        for cls in dbase.classes:
+            _extract_class(cls, detector, options, counters, pool)
 
     out_dbase = dataset.DBase(dataset.DefaultConfig(options.outdir))
     ioutils.write_text_log(options.logfile, out_dbase)
