@@ -214,16 +214,37 @@ def _crelu(x, w, stride=1, padding='SAME'):
     return jax.nn.relu(_conv(x, w, stride, padding))
 
 
+STEM_SKIP = ('Bottleneck', 'Conv2d_1a_s2d', 'Conv2d_1a_3x3',
+             'Conv2d_2a_3x3', 'Conv2d_2b_3x3')
+
+
 def fast_forward(params, cfg, images, image_size=160, normalization=0,
-                 dtype=jnp.bfloat16, normalize=True):
+                 dtype=jnp.bfloat16, normalize=True, stem='xla'):
     """Fused inference forward: uint8/float images -> [B, 512] embeddings.
 
     Same contract as InceptionResnetV1.__call__(train=False): in-model
     preprocessing, L2-normalized float32 output (eps 1e-10).
+
+    :param stem: 'xla' (default) runs the conv1/2a/2b/pool prefix as XLA
+        convs; 'pallas' runs it as the fused flat-lane kernel
+        (ops/pallas_stem.py, 160x160 only, needs the bf16 s2d stem —
+        quantize with skip=STEM_SKIP); 'pallas-interpret' for CPU tests.
     """
     x = image_processing(images, image_size, normalization, dtype=dtype)
 
-    if 'Conv2d_1a_s2d' in params and x.shape[1] % 2 == 0 \
+    if stem != 'xla':
+        if stem not in ('pallas', 'pallas-interpret'):
+            raise ValueError(f'unknown stem {stem!r}')
+        if 'k' not in params.get('Conv2d_1a_s2d', {}):
+            raise ValueError("stem='pallas' needs bf16 s2d stem params "
+                             "(quantize with skip=irv1_fast.STEM_SKIP)")
+        if x.shape[1:3] != (160, 160):
+            raise ValueError("stem='pallas' supports 160x160 inputs only")
+        from facenet_tpu.ops import pallas_stem as _pstem
+        planes = _pstem.to_planes(x)
+        x = _pstem.stem_forward_flat(_pstem.pack_stem(params), planes,
+                                     interpret=stem == 'pallas-interpret')
+    elif 'Conv2d_1a_s2d' in params and x.shape[1] % 2 == 0 \
             and x.shape[2] % 2 == 0:
         # space-to-depth stem (see build_fast_params): [B,H,W,3] ->
         # [B,H/2,W/2,12], then the rewritten 2x2/s1 conv
@@ -233,11 +254,13 @@ def fast_forward(params, cfg, images, image_size=160, normalization=0,
         x = jax.nn.relu(_conv(xs, params['Conv2d_1a_s2d'], 1, 'VALID'))
     else:
         x = _crelu(x, params['Conv2d_1a_3x3'], 2, 'VALID')
-    x = _crelu(x, params['Conv2d_2a_3x3'], 1, 'VALID')
-    x = _crelu(x, params['Conv2d_2b_3x3'], 1, 'VALID')
-    x = jax.lax.reduce_window(
-        x, -jnp.inf if x.dtype == jnp.float32 else jnp.finfo(x.dtype).min,
-        jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), 'VALID')
+    if stem == 'xla':
+        x = _crelu(x, params['Conv2d_2a_3x3'], 1, 'VALID')
+        x = _crelu(x, params['Conv2d_2b_3x3'], 1, 'VALID')
+        x = jax.lax.reduce_window(
+            x,
+            -jnp.inf if x.dtype == jnp.float32 else jnp.finfo(x.dtype).min,
+            jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), 'VALID')
     x = _crelu(x, params['Conv2d_3b_1x1'], 1, 'VALID')
     x = _crelu(x, params['Conv2d_4a_3x3'], 1, 'VALID')
     x = _crelu(x, params['Conv2d_4b_3x3'], 2, 'VALID')
@@ -316,11 +339,12 @@ class FastEmbedder:
 
     def __init__(self, variables, config=None, image_size=160,
                  normalization=0, dtype=jnp.bfloat16, normalize=True,
-                 quantize=None, calib_images=None):
+                 quantize=None, calib_images=None, stem='xla'):
         self.params, self.cfg = build_fast_params(variables, config, dtype)
         self.image_size = int(image_size)
         self.normalization = int(normalization)
         self.normalize = bool(normalize)
+        self.stem = stem
         if quantize:
             if quantize != 'int8':
                 raise ValueError(f'unknown quantize mode {quantize!r}')
@@ -328,15 +352,16 @@ class FastEmbedder:
                 raise ValueError('quantize="int8" needs calib_images '
                                  '(a representative uint8 batch)')
             from facenet_tpu.models.quantize import quantize_fast_params
+            kw = {} if stem == 'xla' else {'skip': STEM_SKIP}
             self.params = quantize_fast_params(
                 self.params, self.cfg, calib_images, self.image_size,
-                self.normalization)
+                self.normalization, **kw)
         cfg = self.cfg
 
         def fwd(params, images):
             return fast_forward(params, cfg, images, self.image_size,
                                 self.normalization, dtype,
-                                normalize=self.normalize)
+                                normalize=self.normalize, stem=self.stem)
         self._fwd = jax.jit(fwd)
 
     def __call__(self, images):

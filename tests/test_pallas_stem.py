@@ -16,6 +16,9 @@ from facenet_tpu.models import irv1_fast as F
 from facenet_tpu.ops import pallas_stem as S
 from facenet_tpu.ops.preprocessing import image_processing
 
+TINY = {'block35': {'repeat': 1}, 'block17': {'repeat': 1},
+        'block8_1': {'repeat': 1}, 'output': {'size': 32}}
+
 
 @pytest.fixture(scope='module')
 def fast_params():
@@ -68,6 +71,43 @@ def test_stem_flat_small_chunk(fast_params):
     tiled = np.asarray(S.stem_forward_flat(packed, planes, interpret=True,
                                            chunk=2560), np.float32)
     np.testing.assert_allclose(full, tiled, atol=1e-3)
+
+
+def test_fast_forward_pallas_stem_matches_xla():
+    """fast_forward(stem='pallas-interpret') must match stem='xla' end to
+    end (full TINY net, embeddings compared at f32)."""
+    model = create_model(TINY)
+    rng = np.random.RandomState(5)
+    images = rng.randint(0, 256, (2, 160, 160, 3), dtype=np.uint8)
+    variables = model.init(jax.random.PRNGKey(1), images[:1], train=False)
+    params, cfg = F.build_fast_params(variables, TINY)
+
+    ref = np.asarray(F.fast_forward(params, cfg, images), np.float32)
+    new = np.asarray(F.fast_forward(params, cfg, images,
+                                    stem='pallas-interpret'), np.float32)
+    cos = (ref * new).sum(axis=1)
+    assert cos.min() > 0.999, f'pallas-stem forward drifted: {cos.min():.5f}'
+
+
+def test_fast_forward_pallas_stem_rejects_quantized_stem():
+    model = create_model(TINY)
+    rng = np.random.RandomState(6)
+    images = rng.randint(0, 256, (2, 160, 160, 3), dtype=np.uint8)
+    variables = model.init(jax.random.PRNGKey(1), images[:1], train=False)
+
+    from facenet_tpu.models.quantize import quantize_fast_params
+    params, cfg = F.build_fast_params(variables, TINY)
+    qdef = quantize_fast_params(params, cfg, images)   # stem quantized
+    with pytest.raises(ValueError, match='bf16 s2d stem'):
+        F.fast_forward(qdef, cfg, images, stem='pallas-interpret')
+
+    # with skip=STEM_SKIP the stem stays bf16 and the pallas path runs
+    qskip = quantize_fast_params(params, cfg, images, skip=F.STEM_SKIP)
+    ref = np.asarray(F.fast_forward(qskip, cfg, images), np.float32)
+    new = np.asarray(F.fast_forward(qskip, cfg, images,
+                                    stem='pallas-interpret'), np.float32)
+    cos = (ref * new).sum(axis=1)
+    assert cos.min() > 0.999
 
 
 def test_pack_stem_shapes(fast_params):
