@@ -139,6 +139,59 @@ def main():
     # ---- R/O-Net stages by difference
     print(f'R+O stages (diff):   {1000 * (t_full - t_pnet):8.2f} ms')
 
+    # ---- R/O decomposition: crop-gather vs net convs (decides whether a
+    # flat-lane R/O kernel or a cheaper crop extraction is the next lever)
+    from facenet_tpu.ops.image_ops import crop_and_resize
+
+    boxes_r = jnp.asarray(
+        np.concatenate([
+            rng.uniform(0, 400, (batch, det.k_rnet, 2)),
+            rng.uniform(40, 140, (batch, det.k_rnet, 2))], axis=-1)
+        .astype(np.float32))
+    boxes_r = boxes_r.at[..., 2:].add(boxes_r[..., :2])
+
+    def crop24(x):
+        crops = crop_and_resize(x.astype(jnp.float32), boxes_r, 24)
+        acc = jnp.sum(crops[..., 0].astype(jnp.float32))
+        return acc, x + (acc * 0).astype(jnp.uint8)
+
+    t_c24 = chain_time(crop24, images, iters)
+    print(f'crop24 gather (K={det.k_rnet}): {1000 * t_c24:8.2f} ms')
+
+    crops24 = jnp.asarray(rng.normal(size=(
+        batch * det.k_rnet, 24, 24, 3)).astype(np.float32), jnp.bfloat16)
+
+    def rnet_convs(x):
+        probs, reg = det.rnet.apply({'params': det.params['rnet']}, x)
+        acc = jnp.sum(probs) + jnp.sum(reg[..., 0])
+        return acc, x + (acc * 0).astype(x.dtype)
+
+    t_rn = chain_time(rnet_convs, crops24, iters)
+    print(f'R-Net convs ({batch * det.k_rnet} crops): {1000 * t_rn:8.2f} ms')
+
+    boxes_o = boxes_r[:, :det.k_onet]
+
+    def crop48(x):
+        crops = crop_and_resize(x.astype(jnp.float32), boxes_o, 48)
+        acc = jnp.sum(crops[..., 0].astype(jnp.float32))
+        return acc, x + (acc * 0).astype(jnp.uint8)
+
+    t_c48 = chain_time(crop48, images, iters)
+    print(f'crop48 gather (K={det.k_onet}): {1000 * t_c48:8.2f} ms')
+
+    crops48 = jnp.asarray(rng.normal(size=(
+        batch * det.k_onet, 48, 48, 3)).astype(np.float32), jnp.bfloat16)
+
+    def onet_convs(x):
+        probs, reg, lmk = det.onet.apply({'params': det.params['onet']}, x)
+        acc = jnp.sum(probs) + jnp.sum(reg[..., 0]) + jnp.sum(lmk[..., 0])
+        return acc, x + (acc * 0).astype(x.dtype)
+
+    t_on = chain_time(onet_convs, crops48, iters)
+    print(f'O-Net convs ({batch * det.k_onet} crops): {1000 * t_on:8.2f} ms')
+    t_sel = (t_full - t_pnet) - (t_c24 + t_rn + t_c48 + t_on)
+    print(f'R/O selection (diff):{1000 * t_sel:8.2f} ms')
+
 
 if __name__ == '__main__':
     main()
