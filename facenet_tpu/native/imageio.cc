@@ -13,6 +13,14 @@
 //     reference ImageLoader semantics),
 //   * bilinear resize — for detector-input letterboxing.
 // No external deps beyond libjpeg/libpng/zlib (system libraries).
+//
+// MEASURED NEGATIVE (round 3, don't redo): libjpeg decode knobs
+// (do_fancy_upsampling=FALSE merged upsampling, dct_method=JDCT_IFAST,
+// both) are all within 2% of the default ISLOW+fancy decode on a dense
+// 1080p q90 4:2:0 source with this libjpeg-turbo 2.1.5 — Huffman entropy
+// decoding dominates and is knob-independent — while merged upsampling
+// drifts pixels by ~9.7 LSB mean. The only decode-side lever that pays
+// is the DCT-domain scaled decode below (skips IDCT work entirely).
 
 #include <cstdint>
 #include <cstdio>
