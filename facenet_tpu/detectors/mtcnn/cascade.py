@@ -86,6 +86,7 @@ class MTCNN:
         self.k_rnet = int(max_refined)
         self.k_onet = int(max_outputs)
 
+        self.dtype = dtype
         self.pnet = PNet(dtype=dtype)
         self.rnet = RNet(dtype=dtype)
         self.onet = ONet(dtype=dtype)
@@ -260,7 +261,8 @@ class MTCNN:
         overflow['rnet'] = _overflow_count(valid, self.k_rnet)
         boxes, scores, valid = jax.vmap(
             partial(top_k_boxes, k=self.k_rnet))(boxes, scores, valid)
-        crops = crop_and_resize(images_f32, boxes, 24)       # [B,K,24,24,3]
+        crops = crop_and_resize(images_f32, boxes, 24,
+                                compute_dtype=self.dtype)  # [B,K,24,24,3]
         flat = crops.reshape((-1, 24, 24, 3))
         probs, reg = self.rnet.apply({'params': params['rnet']},
                                      normalize_crops(flat))
@@ -278,7 +280,8 @@ class MTCNN:
         overflow['onet'] = _overflow_count(valid, self.k_onet)
         boxes, scores, valid = jax.vmap(
             partial(top_k_boxes, k=self.k_onet))(boxes, scores, valid)
-        crops = crop_and_resize(images_f32, boxes, 48)
+        crops = crop_and_resize(images_f32, boxes, 48,
+                                compute_dtype=self.dtype)
         flat = crops.reshape((-1, 48, 48, 3))
         probs, reg, lmk = self.onet.apply({'params': params['onet']},
                                           normalize_crops(flat))

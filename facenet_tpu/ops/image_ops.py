@@ -66,15 +66,20 @@ def _interp_matrix(lo, hi, n, s):
             (pos == c1i[:, None]) * w[:, None])
 
 
-def crop_and_resize(images, boxes, out_size):
+def crop_and_resize(images, boxes, out_size, compute_dtype=jnp.float32):
     """Crop boxes from a batch of images and resize to out_size x out_size.
 
     Separable bilinear sampling as two batched MXU matmuls (Y then X
     interpolation) instead of per-pixel gathers.
 
-    :param images: [B, H, W, C] (any dtype; sampled as f32)
+    :param images: [B, H, W, C] (any dtype; sampled in compute_dtype)
     :param boxes: [B, K, 4] pixel-coordinate (x1, y1, x2, y2) boxes
     :param out_size: output side length S
+    :param compute_dtype: matmul element type. f32 (default) is exact
+        bilinear; bfloat16 runs the interp matmuls at the MXU's bf16 rate
+        with half the HBM traffic (accumulation stays f32) at ~1 LSB crop
+        error — the right trade when the crops feed bf16 conv nets
+        (detector R/O stages).
     :return: [B, K, S, S, C] float32 crops
     """
     s = int(out_size)
@@ -86,11 +91,13 @@ def crop_and_resize(images, boxes, out_size):
         return ry, rx
 
     ry, rx = jax.vmap(jax.vmap(per_box))(boxes)      # [B,K,S,H], [B,K,S,W]
+    ry = ry.astype(compute_dtype)
+    rx = rx.astype(compute_dtype)
 
-    f = images.astype(jnp.float32).reshape(b, h, w * c)
+    f = images.astype(compute_dtype).reshape(b, h, w * c)
     rows = jnp.einsum('bksh,bhd->bksd', ry, f,
                       preferred_element_type=jnp.float32)
-    rows = rows.reshape(b, boxes.shape[1], s, w, c)
+    rows = rows.reshape(b, boxes.shape[1], s, w, c).astype(compute_dtype)
     return jnp.einsum('bkswc,bktw->bkstc', rows, rx,
                       preferred_element_type=jnp.float32)
 

@@ -158,6 +158,16 @@ def main():
     t_c24 = chain_time(crop24, images, iters)
     print(f'crop24 gather (K={det.k_rnet}): {1000 * t_c24:8.2f} ms')
 
+    def crop24_bf16(x):
+        crops = crop_and_resize(x.astype(jnp.float32), boxes_r, 24,
+                                compute_dtype=jnp.bfloat16)
+        acc = jnp.sum(crops[..., 0].astype(jnp.float32))
+        return acc, x + (acc * 0).astype(jnp.uint8)
+
+    t_c24b = chain_time(crop24_bf16, images, iters)
+    print(f'crop24 bf16:         {1000 * t_c24b:8.2f} ms '
+          f'({t_c24 / t_c24b:.2f}x vs f32)')
+
     crops24 = jnp.asarray(rng.normal(size=(
         batch * det.k_rnet, 24, 24, 3)).astype(np.float32), jnp.bfloat16)
 
