@@ -106,6 +106,7 @@ static bool decode_jpeg(const uint8_t* buf, size_t len, Image* out,
   cinfo.out_color_space = JCS_RGB;
   if (orig_h) *orig_h = static_cast<int>(cinfo.image_height);
   if (orig_w) *orig_w = static_cast<int>(cinfo.image_width);
+  bool full_scale = true;
   if (target_h > 0 && target_w > 0 &&
       cinfo.image_height > 0 && cinfo.image_width > 0) {
     int need_h = target_h, need_w = target_w;
@@ -122,10 +123,19 @@ static bool decode_jpeg(const uint8_t* buf, size_t len, Image* out,
       cinfo.scale_denom = 8;
       jpeg_calc_output_dimensions(&cinfo);
       if (static_cast<int>(cinfo.output_height) >= need_h &&
-          static_cast<int>(cinfo.output_width) >= need_w)
+          static_cast<int>(cinfo.output_width) >= need_w) {
+        full_scale = (m == 8);
         break;
+      }
     }
   }
+  // Full-size decodes take the IFAST IDCT: measured 1.17x on this
+  // libjpeg-turbo at ~1.0 LSB mean drift (see header note). The reduced
+  // M/8 IDCT kernels are ISLOW-only-optimized, so scaled decodes keep
+  // ISLOW (IFAST measured SLOWER there). The rule depends only on the
+  // chosen scale, so hinted and unhinted decodes of the same small file
+  // stay bit-identical (tests/test_native.py letterbox equality).
+  cinfo.dct_method = full_scale ? JDCT_IFAST : JDCT_ISLOW;
   jpeg_start_decompress(&cinfo);
 
   if (!alloc_image(out, cinfo.output_height, cinfo.output_width)) {
