@@ -32,7 +32,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map
+    _NO_CHECK = {'check_vma': False}
+except ImportError:  # jax < 0.8 kept it in experimental
+    from jax.experimental.shard_map import shard_map
+    _NO_CHECK = {'check_rep': False}
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from facenet_tpu.parallel.mesh import DATA_AXIS
@@ -168,7 +173,7 @@ def sharded_pair_histograms(embeddings, labels, thresholds, num_classes,
     @partial(shard_map, mesh=mesh,
              in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(None)),
              out_specs=P(None),
-             check_rep=False)
+             **_NO_CHECK)
     def run(emb_stripe, lab_stripe, thr):
         # full column set via on-device all-gather (DCN across hosts):
         # no process ever materializes the global embedding matrix on host

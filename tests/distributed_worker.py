@@ -40,7 +40,10 @@ def main():
     if mode == 'psum':
         import jax.numpy as jnp
         from functools import partial
-        from jax.experimental.shard_map import shard_map
+        try:
+            from jax import shard_map
+        except ImportError:  # jax < 0.8
+            from jax.experimental.shard_map import shard_map
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
         mesh = Mesh(np.array(jax.devices()).reshape(8), ('data',))
