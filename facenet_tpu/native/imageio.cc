@@ -16,11 +16,14 @@
 //
 // MEASURED NEGATIVE (round 3, don't redo): libjpeg decode knobs
 // (do_fancy_upsampling=FALSE merged upsampling, dct_method=JDCT_IFAST,
-// both) are all within 2% of the default ISLOW+fancy decode on a dense
-// 1080p q90 4:2:0 source with this libjpeg-turbo 2.1.5 — Huffman entropy
-// decoding dominates and is knob-independent — while merged upsampling
-// drifts pixels by ~9.7 LSB mean. The only decode-side lever that pays
-// is the DCT-domain scaled decode below (skips IDCT work entirely).
+// both) do not pay on representative content with this libjpeg-turbo
+// 2.1.5. Interleaved-median A/B on repo-rendered 1080p q90 scenes:
+// IFAST within +-3% of ISLOW (noise) at ~1 LSB mean drift — IFAST's
+// 1.17x only appears on a max-entropy synthetic test pattern; photo-like
+// content is Huffman-decode-bound, which no IDCT knob touches. Merged
+// upsampling: within 2% everywhere and drifts pixels ~9.7 LSB mean.
+// The only decode-side lever that pays is the DCT-domain scaled decode
+// below (skips IDCT + upsampling work entirely).
 
 #include <cstdint>
 #include <cstdio>
@@ -106,7 +109,6 @@ static bool decode_jpeg(const uint8_t* buf, size_t len, Image* out,
   cinfo.out_color_space = JCS_RGB;
   if (orig_h) *orig_h = static_cast<int>(cinfo.image_height);
   if (orig_w) *orig_w = static_cast<int>(cinfo.image_width);
-  bool full_scale = true;
   if (target_h > 0 && target_w > 0 &&
       cinfo.image_height > 0 && cinfo.image_width > 0) {
     int need_h = target_h, need_w = target_w;
@@ -123,19 +125,10 @@ static bool decode_jpeg(const uint8_t* buf, size_t len, Image* out,
       cinfo.scale_denom = 8;
       jpeg_calc_output_dimensions(&cinfo);
       if (static_cast<int>(cinfo.output_height) >= need_h &&
-          static_cast<int>(cinfo.output_width) >= need_w) {
-        full_scale = (m == 8);
+          static_cast<int>(cinfo.output_width) >= need_w)
         break;
-      }
     }
   }
-  // Full-size decodes take the IFAST IDCT: measured 1.17x on this
-  // libjpeg-turbo at ~1.0 LSB mean drift (see header note). The reduced
-  // M/8 IDCT kernels are ISLOW-only-optimized, so scaled decodes keep
-  // ISLOW (IFAST measured SLOWER there). The rule depends only on the
-  // chosen scale, so hinted and unhinted decodes of the same small file
-  // stay bit-identical (tests/test_native.py letterbox equality).
-  cinfo.dct_method = full_scale ? JDCT_IFAST : JDCT_ISLOW;
   jpeg_start_decompress(&cinfo);
 
   if (!alloc_image(out, cinfo.output_height, cinfo.output_width)) {
