@@ -84,8 +84,10 @@ class FaceNet:
         elif type(model).__name__ == 'InceptionResnetV2':
             from facenet_tpu.models.irv2_fast import \
                 FastEmbedderV2 as fast_cls
-        quantize = str(config.quantize) if config.exists('quantize') \
-            else None
+        # `quantize: null` / `false` in YAML must mean "disabled", not the
+        # truthy strings 'None'/'False' (CLAUDE.md: optional config values)
+        quantize = config.quantize if config.exists('quantize') else None
+        quantize = str(quantize) if quantize else None
         if fast_cls is not None:
             try:
                 kwargs = {}
@@ -94,7 +96,8 @@ class FaceNet:
                     # images come from `config.calib` (array, or a
                     # directory of images — up to 64 are loaded)
                     kwargs = {'quantize': quantize,
-                              'calib_images': self._calib_batch(config)}
+                              'calib_images': self._calib_batch(
+                                  config, int(model.image_size))}
                 self._forward = fast_cls(
                     self.variables, config=model.config,
                     image_size=model.image_size,
@@ -116,11 +119,12 @@ class FaceNet:
                                            train=False, normalize=normalize))
 
     @staticmethod
-    def _calib_batch(config, limit=64):
+    def _calib_batch(config, image_size, limit=64):
         """Representative uint8 batch for int8 calibration.
 
-        `config.calib` may be an array-like batch or a directory of
-        images (resized to the model's input on load).
+        `config.calib` may be an array-like batch (already at the model's
+        input size) or a directory of images, each resized to
+        `image_size` x `image_size` on load so mixed-size photos stack.
         """
         calib = config.calib if config.exists('calib') else None
         if calib is None:
@@ -137,8 +141,11 @@ class FaceNet:
             # spread the sample across the directory (≈across classes)
             step = max(len(paths) // limit, 1)
             paths = paths[::step][:limit]
-            return np.stack([np.asarray(Image.open(p).convert('RGB'))
-                             for p in paths])
+            size = (int(image_size), int(image_size))
+            return np.stack([
+                np.asarray(Image.open(p).convert('RGB').resize(
+                    size, Image.BILINEAR))
+                for p in paths])
         return np.asarray(calib, dtype=np.uint8)
 
     @property

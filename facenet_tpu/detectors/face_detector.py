@@ -168,14 +168,19 @@ class FaceDetector:
             from facenet_tpu import ioutils
             results = []
             for start in range(0, len(paths), batch_size):
-                chunk = []
+                chunk, readable = [], []
                 for p in paths[start:start + batch_size]:
                     try:
                         chunk.append(ioutils.pil2array(
                             ioutils.read_image(p), mode=self.mode))
+                        readable.append(True)
                     except Exception:
-                        chunk.append(np.zeros((4, 4, 3), np.uint8))
-                results.extend(self.detect_images(chunk))
+                        # empty list, NOT a dummy image — a zeros frame
+                        # through the cascade can emit spurious boxes
+                        readable.append(False)
+                detected = iter(self.detect_images(chunk) if chunk else ())
+                results.extend(next(detected) if ok else []
+                               for ok in readable)
             return results
 
         shape = self._backend.image_shape

@@ -159,14 +159,16 @@ class MTCNN:
         }
 
     # ------------------------------------------------------------------
-    def _pnet_level(self, params, base_norm, level):
+    def _pnet_level(self, params, base_norm, level, pnet_packed=None):
         """Run P-Net on one pyramid level; return fixed-size candidate set.
 
         `base_norm` is the ALREADY-normalized bf16 base image: the MTCNN
         (x - 127.5)/128 affine commutes with bilinear resampling, so
         normalizing once before the pyramid removes a full-tensor
         elementwise pass per level. The resize itself runs as two MXU
-        matmuls (see __init__: `_resize_mats`).
+        matmuls (see __init__: `_resize_mats`). `pnet_packed` carries the
+        pack_v3 weights, computed ONCE by _detect rather than re-traced
+        per level.
         """
         scale = self.scales[level]
         v, hm = self._resize_mats[level]
@@ -179,12 +181,14 @@ class MTCNN:
             # the ~3.2 ms the kernel saves (tools/try_pnet_v3.py)
             from facenet_tpu.detectors.mtcnn.pallas_pnet import (
                 pack_v3, pnet_forward_flat)
+            if pnet_packed is None:
+                pnet_packed = pack_v3(params['pnet'])
             sh, sw_pad, sw_true = self._flat_geom[level]
             t = jnp.einsum('iy,byxc->bixc', v, base_norm)
             planes = jnp.einsum('bixc,xj->bcij', t, self._flat_hm[level])
             planes = planes.reshape(planes.shape[0], 3, sh * sw_pad)
             probs, reg = pnet_forward_flat(
-                pack_v3(params['pnet']), planes, sh, sw_pad, sw_true,
+                pnet_packed, planes, sh, sw_pad, sw_true,
                 interpret=self.pnet_impl == 'flat-interpret')
         else:
             # V [sh, H] x base [B, H, W, 3] x Hm [W, sw] -> [B, sh, sw, 3]
@@ -236,8 +240,13 @@ class MTCNN:
         # that truncation visible instead of silent).
         overflow = {}
         overflow['pnet_level'] = jnp.zeros((b,), jnp.int32)
+        pnet_packed = None
+        if self.pnet_impl != 'flax':
+            from facenet_tpu.detectors.mtcnn.pallas_pnet import pack_v3
+            pnet_packed = pack_v3(params['pnet'])
         for level in range(len(self.scales)):
-            bx, sc, va, ov = self._pnet_level(params, base_norm, level)
+            bx, sc, va, ov = self._pnet_level(params, base_norm, level,
+                                              pnet_packed)
             all_boxes.append(bx)
             all_scores.append(sc)
             all_valid.append(va)

@@ -194,12 +194,16 @@ def letterbox_geometry(h, w, target_shape):
     (h, w) image — MUST match imageio.cc letterbox():
     original_coords = (letterboxed_coords - pad) / scale."""
     th, tw = int(target_shape[0]), int(target_shape[1])
-    scale = min(th / h, tw / w)
-    # C-style rounding (x + 0.5 floored), NOT Python round(): must be
-    # bit-identical to imageio.cc letterbox()'s (int)(x + 0.5f)
-    nh = max(1, min(int(h * scale + 0.5), th))
-    nw = max(1, min(int(w * scale + 0.5), tw))
-    return scale, ((tw - nw) // 2, (th - nh) // 2)
+    # Mirror imageio.cc letterbox() ARITHMETIC WIDTH as well as its
+    # rounding: the C++ computes scale and d*s+0.5f in binary32 and
+    # truncates ((int)(x + 0.5f)); doing this in Python doubles can flip
+    # the rounded size by 1px near .5 boundaries on large images, which
+    # would shift every mapped box by 1px against the C++ canvas.
+    f32 = np.float32
+    scale = min(f32(th) / f32(h), f32(tw) / f32(w))
+    nh = max(1, min(int(f32(h) * scale + f32(0.5)), th))
+    nw = max(1, min(int(f32(w) * scale + f32(0.5)), tw))
+    return float(scale), ((tw - nw) // 2, (th - nh) // 2)
 
 
 def probe_image(path):

@@ -44,6 +44,17 @@ struct Image {
   int width = 0;
 };
 
+// Non-owning pixel view: lets already-decoded caller buffers (ctypes
+// arrays) flow into resize/letterbox without a multi-MB defensive copy.
+struct ImageView {
+  const uint8_t* data;
+  int height;
+  int width;
+  ImageView(const Image& img)  // NOLINT(runtime/explicit) — by design
+      : data(img.data.data()), height(img.height), width(img.width) {}
+  ImageView(const uint8_t* d, int h, int w) : data(d), height(h), width(w) {}
+};
+
 // A corrupt/malicious header can declare up to 65535x65535 (~12.8 GB RGB).
 // Cap pixel count so such files fail the decode contract (return 0 =
 // unreadable) instead of throwing std::bad_alloc out of a worker thread.
@@ -304,9 +315,10 @@ static void crop_or_pad(const Image& src, int th, int tw, uint8_t* dst) {
 // the blended row instead of three. Measured 2.9x over the scalar
 // float-per-pixel version on a 1080p -> 480x640 letterbox (5.97 -> 2.06
 // ms); rounding differs from exact float bilinear by <= 1 LSB per stage.
-static void resize_bilinear(const Image& src, int th, int tw, uint8_t* dst) {
+static void resize_bilinear(ImageView src, int th, int tw, uint8_t* dst) {
   if (src.height == th && src.width == tw) {
-    std::memcpy(dst, src.data.data(), src.data.size());
+    std::memcpy(dst, src.data,
+                static_cast<size_t>(src.height) * src.width * 3);
     return;
   }
   constexpr int kBits = 12;
@@ -333,10 +345,8 @@ static void resize_bilinear(const Image& src, int th, int tw, uint8_t* dst) {
     const int y1 = std::min(y0 + 1, src.height - 1);
     const int wy = static_cast<int>((fy - y0) * kOne + 0.5f);
 
-    const uint8_t* r0 =
-        src.data.data() + static_cast<size_t>(y0) * row_elems;
-    const uint8_t* r1 =
-        src.data.data() + static_cast<size_t>(y1) * row_elems;
+    const uint8_t* r0 = src.data + static_cast<size_t>(y0) * row_elems;
+    const uint8_t* r1 = src.data + static_cast<size_t>(y1) * row_elems;
     uint8_t* drow = dst + static_cast<size_t>(y) * tw * 3;
 
     // vertical blend into one uint8 row (vectorizable: contiguous, no
@@ -375,7 +385,7 @@ static void resize_bilinear(const Image& src, int th, int tw, uint8_t* dst) {
 // Box mapping in Python uses letterbox_geometry(native_h, native_w), so the
 // placement must follow the native dims even when the pixels come from a
 // reduced decode; the bilinear then maps src onto that exact (nh, nw) grid.
-static void letterbox(const Image& src, int th, int tw, uint8_t* dst,
+static void letterbox(ImageView src, int th, int tw, uint8_t* dst,
                       int geom_h = 0, int geom_w = 0) {
   if (geom_h <= 0) geom_h = src.height;
   if (geom_w <= 0) geom_w = src.width;
@@ -444,11 +454,8 @@ int fn_decode_image(const char* path, int height, int width, int mode,
 // Same geometry as mode 2 of fn_decode_image.
 void fn_letterbox_array(const uint8_t* src, int h, int w, int th, int tw,
                         uint8_t* out) {
-  facenet_native::Image img;
-  img.height = h;
-  img.width = w;
-  img.data.assign(src, src + static_cast<size_t>(h) * w * 3);
-  facenet_native::letterbox(img, th, tw, out);
+  facenet_native::letterbox(facenet_native::ImageView(src, h, w), th, tw,
+                            out);
 }
 
 // Probe a file: report its native size from the header WITHOUT a full

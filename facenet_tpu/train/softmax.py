@@ -20,6 +20,7 @@ TPU-first design:
 
 from __future__ import annotations
 
+import itertools
 import time
 from functools import partial
 from pathlib import Path
@@ -322,6 +323,13 @@ class SoftmaxTrainer:
 
         batch_shard = mesh_mod.batch_sharding(self.mesh)
         prefetch = int(value_or(self.cfg.train.prefetch, 2))
+        # Bound the draw from the underlying pipeline to exactly one
+        # epoch BEFORE the prefetch queue: the generator transfers up to
+        # `prefetch` batches ahead of the consumer, so breaking out of
+        # the loop below would otherwise abandon already-pulled batches —
+        # advancing the resumable cursor past data that was never
+        # trained (batches is shared across epochs by the caller).
+        batches = itertools.islice(iter(batches), self.steps_per_epoch)
         t0 = time.monotonic()
         metrics = None
         n = 0

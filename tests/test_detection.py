@@ -326,6 +326,42 @@ def test_detect_files_matches_detect_images(tmp_path):
                        (w.left, w.top, w.width, w.height)
 
 
+def test_detect_files_fallback_without_native(tmp_path, monkeypatch):
+    """With the native loader unavailable, detect_files must fall back to
+    PIL decode + detect_images and still give unreadable files an EMPTY
+    list — never a dummy frame through the cascade (spurious boxes)."""
+    from PIL import Image
+    from facenet_tpu import native
+    from facenet_tpu.detectors.face_detector import FaceDetector
+
+    rng = np.random.RandomState(0)
+    images, paths = [], []
+    for i, (h, w) in enumerate([(80, 120), (96, 96), (50, 70)]):
+        img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        p = tmp_path / f'{i}.png'
+        Image.fromarray(img).save(p)
+        images.append(img)
+        paths.append(p)
+    bad = tmp_path / 'broken.png'
+    bad.write_bytes(b'not an image')
+    paths.insert(1, bad)  # mid-batch, not just trailing
+
+    monkeypatch.setattr(native, 'available', lambda: False)
+    det = FaceDetector(detector='mtcnn', image_shape=(96, 96),
+                       max_proposals=64, max_refined=16, max_outputs=8,
+                       thresholds=(0.1, 0.1, 0.1))
+    from_files = det.detect_files(paths, batch_size=2)
+    from_arrays = det.detect_images(images)
+
+    assert len(from_files) == 4
+    assert from_files[1] == []
+    for got, want in zip([from_files[0]] + from_files[2:], from_arrays):
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert (g.left, g.top, g.width, g.height) == \
+                   (w.left, w.top, w.width, w.height)
+
+
 def test_face_detector_unknown_backend():
     from facenet_tpu.detectors.face_detector import FaceDetector
     with pytest.raises(ValueError):

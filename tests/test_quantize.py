@@ -105,3 +105,24 @@ def test_fast_embedder_quantize_flag(rng_images):
     with pytest.raises(ValueError):
         irv1_fast.FastEmbedder(variables, TINY, quantize='fp4',
                                calib_images=images[:4])
+
+
+def test_calib_batch_from_mixed_size_directory(tmp_path):
+    """FaceNet._calib_batch must resize directory-loaded calibration
+    images to the model input so heterogeneous photos stack, and must
+    treat quantize: null/false config values as 'disabled'."""
+    from PIL import Image
+    from facenet_tpu import FaceNet
+    from facenet_tpu.config import Config
+
+    rng = np.random.RandomState(3)
+    for i, (h, w) in enumerate([(100, 80), (160, 160), (240, 320)]):
+        img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        Image.fromarray(img).save(tmp_path / f'{i}.png')
+
+    batch = FaceNet._calib_batch(Config({'calib': str(tmp_path)}), 160)
+    assert batch.shape == (3, 160, 160, 3)
+    assert batch.dtype == np.uint8
+
+    with pytest.raises(ValueError):
+        FaceNet._calib_batch(Config({}), 160)

@@ -126,6 +126,27 @@ def test_embedding_forward_from_train_state(trainer_and_state):
     np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-2)
 
 
+def test_epoch_draws_exactly_steps_per_epoch(trainer_and_state):
+    """The prefetch queue must not pull batches past the epoch boundary:
+    callers share one pipeline iterator across epochs (and checkpoint its
+    cursor), so an over-pull would silently skip data every epoch."""
+    trainer, state = trainer_and_state
+    drawn = []
+
+    def counting(batches):
+        for i, b in enumerate(batches):
+            drawn.append(i)
+            yield b
+
+    src = counting(synthetic_batches(4 * trainer.steps_per_epoch))
+    state, m = trainer.train_epoch(state, src, epoch=0, log_every=0)
+    assert m['steps'] == trainer.steps_per_epoch
+    assert len(drawn) == trainer.steps_per_epoch
+    state, m = trainer.train_epoch(state, src, epoch=1, log_every=0)
+    assert m['steps'] == trainer.steps_per_epoch
+    assert len(drawn) == 2 * trainer.steps_per_epoch
+
+
 def test_checkpoint_roundtrip(tmp_path, trainer_and_state):
     from facenet_tpu.train.checkpoint import CheckpointManager
     trainer, state = trainer_and_state
