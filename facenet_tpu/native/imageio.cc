@@ -117,7 +117,12 @@ static bool decode_jpeg(const uint8_t* buf, size_t len, Image* out,
     jpeg_destroy_decompress(&cinfo);
     return false;
   }
-  cinfo.out_color_space = JCS_RGB;
+  // CMYK/YCCK (Adobe print-workflow JPEGs): libjpeg cannot emit RGB from
+  // these, so decode to CMYK and convert below — otherwise such files
+  // would count as unreadable.
+  const bool cmyk = (cinfo.jpeg_color_space == JCS_CMYK ||
+                     cinfo.jpeg_color_space == JCS_YCCK);
+  cinfo.out_color_space = cmyk ? JCS_CMYK : JCS_RGB;
   if (orig_h) *orig_h = static_cast<int>(cinfo.image_height);
   if (orig_w) *orig_w = static_cast<int>(cinfo.image_width);
   if (target_h > 0 && target_w > 0 &&
@@ -148,11 +153,32 @@ static bool decode_jpeg(const uint8_t* buf, size_t len, Image* out,
   }
   const int row_stride = out->width * 3;
 
+  // Adobe files store CMYK inverted (255 = no ink); plain CMYK does not.
+  const bool adobe_inverted = cinfo.saw_Adobe_marker;
+  std::vector<uint8_t> row4;
+  if (cmyk) row4.resize(static_cast<size_t>(out->width) * 4);
+
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* row = out->data.data() +
                    static_cast<size_t>(cinfo.output_scanline) * row_stride;
-    JSAMPROW rows[1] = {row};
+    if (!cmyk) {
+      JSAMPROW rows[1] = {row};
+      jpeg_read_scanlines(&cinfo, rows, 1);
+      continue;
+    }
+    JSAMPROW rows[1] = {row4.data()};
     jpeg_read_scanlines(&cinfo, rows, 1);
+    for (int x = 0; x < out->width; ++x) {
+      int c = row4[x * 4], m = row4[x * 4 + 1];
+      int y = row4[x * 4 + 2], k = row4[x * 4 + 3];
+      if (!adobe_inverted) {
+        c = 255 - c; m = 255 - m; y = 255 - y; k = 255 - k;
+      }
+      // multiplicative CMYK -> RGB with 255 = no ink after normalization
+      row[x * 3] = static_cast<uint8_t>(c * k / 255);
+      row[x * 3 + 1] = static_cast<uint8_t>(m * k / 255);
+      row[x * 3 + 2] = static_cast<uint8_t>(y * k / 255);
+    }
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);

@@ -243,3 +243,51 @@ def test_huge_header_rejected(tmp_path):
     p.write_bytes(data)
     assert native.decode_image(str(p), 16) is None
     assert native.probe_image(str(p)) is None
+
+
+def test_decode_unusual_color_modes(tmp_path):
+    """Real-world photo corpora contain grayscale/CMYK JPEGs and
+    palette/RGBA PNGs; all must decode to the same RGB as PIL instead of
+    counting as unreadable (ref extract_faces counts unreadables,
+    apps/extract_faces.py:48-54 — a silently skipped format loses data)."""
+    from facenet_tpu import native
+    if not native.available():
+        pytest.skip('native library unavailable')
+
+    rng = np.random.RandomState(0)
+    base = rng.randint(0, 256, (60, 80, 3), np.uint8)
+    files = {
+        'gray.jpg': lambda p: Image.fromarray(base).convert('L').save(
+            p, quality=95),
+        'cmyk.jpg': lambda p: Image.fromarray(base).convert('CMYK').save(
+            p, quality=95),
+        'pal.png': lambda p: Image.fromarray(base).convert(
+            'P', palette=Image.ADAPTIVE).save(p),
+        'rgba.png': lambda p: Image.fromarray(
+            np.dstack([base, np.full((60, 80), 255, np.uint8)]),
+            'RGBA').save(p),
+    }
+    for name, save in files.items():
+        p = tmp_path / name
+        save(str(p))
+        out = native.decode_image(str(p), (60, 80))
+        assert out is not None, f'{name} decoded as unreadable'
+        pil = np.asarray(Image.open(p).convert('RGB'))
+        np.testing.assert_array_equal(out, pil, err_msg=name)
+
+
+def test_decode_16bit_png_scales_not_clips(tmp_path):
+    """16-bit PNGs must decode by scaling to 8-bit (v >> 8), not by the
+    clip-at-255 PIL applies in convert('RGB') — a v*257 gradient must come
+    back as v."""
+    from facenet_tpu import native
+    if not native.available():
+        pytest.skip('native library unavailable')
+
+    v = np.arange(0, 256, dtype=np.uint16).reshape(16, 16)
+    img = Image.fromarray((v * 257).astype(np.int32), 'I')
+    p = tmp_path / 'g16.png'
+    img.save(str(p), bits=16)
+    out = native.decode_image(str(p), (16, 16))
+    assert out is not None
+    np.testing.assert_array_equal(out[:, :, 0], v.astype(np.uint8))
