@@ -88,6 +88,10 @@ static void jpeg_error_exit(j_common_ptr cinfo) {
   longjmp(err->setjmp_buffer, 1);
 }
 
+// Corrupt inputs are an expected, counted outcome (unreadable-file
+// tolerance) — don't let libjpeg spam stderr per bad file.
+static void jpeg_silent_message(j_common_ptr) {}
+
 // target_h/target_w > 0 requests DCT-domain scaled decode: libjpeg decodes
 // at M/8 scale (M in {1,2,4,8} — supported by both classic libjpeg and
 // libjpeg-turbo) nearly for free, so a 1080p source headed for a 480x640
@@ -106,6 +110,7 @@ static bool decode_jpeg(const uint8_t* buf, size_t len, Image* out,
   JpegErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = jpeg_error_exit;
+  jerr.pub.output_message = jpeg_silent_message;
   if (setjmp(jerr.setjmp_buffer)) {
     jpeg_destroy_decompress(&cinfo);
     return false;
@@ -208,8 +213,12 @@ static void png_read_fn(png_structp png, png_bytep out, png_size_t n) {
 static bool decode_png(const uint8_t* buf, size_t len, Image* out) {
   if (len < 8 || png_sig_cmp(buf, 0, 8)) return false;
 
-  png_structp png =
-      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  // custom handlers: errors still longjmp back (png_longjmp), but nothing
+  // is printed — corrupt files are an expected, counted outcome
+  png_structp png = png_create_read_struct(
+      PNG_LIBPNG_VER_STRING, nullptr,
+      [](png_structp p, png_const_charp) { png_longjmp(p, 1); },
+      [](png_structp, png_const_charp) {});
   if (!png) return false;
   png_infop info = png_create_info_struct(png);
   if (!info) {
@@ -498,6 +507,7 @@ int fn_probe_image(const char* path, int* h, int* w) {
     facenet_native::JpegErrorMgr jerr;
     cinfo.err = jpeg_std_error(&jerr.pub);
     jerr.pub.error_exit = facenet_native::jpeg_error_exit;
+    jerr.pub.output_message = facenet_native::jpeg_silent_message;
     if (setjmp(jerr.setjmp_buffer)) {
       jpeg_destroy_decompress(&cinfo);
       return 0;
