@@ -291,3 +291,41 @@ def test_decode_16bit_png_scales_not_clips(tmp_path):
     out = native.decode_image(str(p), (16, 16))
     assert out is not None
     np.testing.assert_array_equal(out[:, :, 0], v.astype(np.uint8))
+
+
+def test_decoder_survives_mutated_inputs(tmp_path):
+    """Bounded fuzz: byte-flipped/truncated/spliced JPEG+PNG must decode
+    to an array or None — never crash the process (the decoder runs
+    in-process on worker threads; a segfault kills the whole run)."""
+    import io
+    from facenet_tpu import native
+    if not native.available():
+        pytest.skip('native library unavailable')
+
+    rng = np.random.RandomState(0)
+    base = rng.randint(0, 256, (48, 64, 3), np.uint8)
+    seeds = []
+    for fmt, kw in (('JPEG', {'quality': 90}), ('PNG', {}),
+                    ('JPEG', {'quality': 80, 'progressive': True})):
+        buf = io.BytesIO()
+        Image.fromarray(base).save(buf, format=fmt, **kw)
+        seeds.append((fmt.lower(), bytearray(buf.getvalue())))
+
+    p = tmp_path / 'fuzz.bin'
+    for trial in range(500):
+        _, seed = seeds[trial % len(seeds)]
+        data = bytearray(seed)
+        for _ in range(rng.randint(1, 12)):
+            op = rng.randint(3)
+            if op == 0:
+                data[rng.randint(len(data))] = rng.randint(256)
+            elif op == 1 and len(data) > 32:
+                del data[rng.randint(16, len(data)):]
+            else:
+                pos = rng.randint(len(data))
+                data[pos:pos] = bytes(
+                    rng.randint(0, 256, rng.randint(1, 64), np.uint8))
+        p.write_bytes(bytes(data))
+        out = native.decode_image(str(p), (32, 32))
+        assert out is None or out.shape == (32, 32, 3)
+        native.probe_image(str(p))
