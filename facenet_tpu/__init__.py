@@ -153,8 +153,11 @@ class FaceNet:
         return int(self.model.cfg.output.size) if hasattr(self.model, 'cfg') \
             else int(check_output_size(self.model))
 
-    def evaluate(self, images):
-        """Run forward pass to calculate embeddings for a uint8 NHWC batch.
+    def dispatch(self, images):
+        """Async forward: enqueue the batch and return the UN-FETCHED
+        device array. facenet.evaluate_embeddings uses this to overlap
+        batch n+1's host load + transfer with batch n's device compute;
+        call np.asarray (or .block_until_ready) on the result to fetch.
 
         Device arrays pass through untouched so sharded inputs (see
         facenet.sharded_forward) keep their placement — coercing them to
@@ -163,7 +166,11 @@ class FaceNet:
         import jax
         if not isinstance(images, jax.Array):
             images = np.asarray(images, dtype=np.uint8)
-        return np.asarray(self._forward(images))
+        return self._forward(images)
+
+    def evaluate(self, images):
+        """Run forward pass to calculate embeddings for a uint8 NHWC batch."""
+        return np.asarray(self.dispatch(images))
 
     def image_to_embedding(self, image_arrays: Iterable[np.ndarray]) -> np.ndarray:
         image_arrays = np.asarray(image_arrays)

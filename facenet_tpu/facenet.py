@@ -43,7 +43,11 @@ def sharded_forward(forward_fn, mesh):
     n_dev = mesh.shape[DATA_AXIS]
     sharding = batch_sharding(mesh)
 
-    def fn(images):
+    def dispatch(images):
+        """Async variant: enqueue transfer+forward, return the un-fetched
+        device array plus the valid row count (evaluate_embeddings uses
+        this to overlap batch n+1's load/transfer with batch n's
+        compute)."""
         images = np.asarray(images)
         n = images.shape[0]
         pad = (-n) % n_dev
@@ -54,9 +58,13 @@ def sharded_forward(forward_fn, mesh):
         # TRAINING path is multi-host via mesh.distribute_batch; sharded
         # eval stays one process per SURVEY §2.8 — the reference's eval is
         # single-process numpy.)
-        out = forward_fn(jax.device_put(images, sharding))
+        return forward_fn(jax.device_put(images, sharding)), n
+
+    def fn(images):
+        out, n = dispatch(images)
         return np.asarray(out)[:n]
 
+    fn.dispatch = dispatch
     return fn
 
 
@@ -75,17 +83,40 @@ def evaluate_embeddings(forward_fn, batches, renormalize=True, mesh=None):
     :param mesh: optional jax.sharding.Mesh — batches shard over its 'data'
         axis (see sharded_forward)
     :return: (embeddings [N, D] float32, labels [N])
+
+    The loop runs pipelined: each batch's forward is DISPATCHED before the
+    previous batch's result is fetched, so when `forward_fn` returns an
+    un-fetched device array (FaceNet.dispatch, sharded_forward.dispatch,
+    or any jitted fn), batch n+1's host load + transfer overlap batch n's
+    device compute. Sync forwards (plain numpy-returning callables)
+    degrade to the serial order with identical results.
     """
+    from collections import deque
+
     if mesh is not None:
         forward_fn = sharded_forward(forward_fn, mesh)
+    # prefer the async dispatch when the forward exposes one
+    dispatch = getattr(forward_fn, 'dispatch', forward_fn)
 
     embeddings_ = []
     labels_ = []
 
-    for images, labels in batches:
-        embeddings = np.asarray(forward_fn(images))
-        embeddings_.append(embeddings)
+    def fetch(out, labels):
+        if isinstance(out, tuple):      # (device array, valid rows)
+            out, n = out
+            arr = np.asarray(out)[:n]
+        else:
+            arr = np.asarray(out)
+        embeddings_.append(arr)
         labels_.append(np.asarray(labels))
+
+    pending = deque()
+    for images, labels in batches:
+        pending.append((dispatch(images), labels))
+        if len(pending) >= 2:
+            fetch(*pending.popleft())
+    while pending:
+        fetch(*pending.popleft())
 
     embeddings = np.concatenate(embeddings_)
     labels = np.concatenate(labels_)
@@ -183,7 +214,8 @@ class EvaluationOfEmbeddings:
         if forward_fn is None:
             from facenet_tpu import FaceNet
             facenet = FaceNet(config.model)
-            forward_fn = facenet.evaluate
+            # async dispatch: evaluate_embeddings fetches one batch behind
+            forward_fn = facenet.dispatch
             # when raw (unnormalized) embeddings were requested, the host
             # must not re-normalize them either
             renormalize = facenet.normalize

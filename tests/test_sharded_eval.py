@@ -96,3 +96,38 @@ def test_sharded_forward_embedding_extraction(mesh8):
     sharded = facenet.evaluate_embeddings(forward, batches, mesh=mesh8)
     np.testing.assert_allclose(single[0], sharded[0], rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(single[1], sharded[1])
+
+
+def test_evaluate_embeddings_pipelined_dispatch(mesh8):
+    """The pipelined fetch (dispatch one batch ahead) must preserve
+    batch order and values for every forward flavor: sync numpy,
+    async device-array (FaceNet.dispatch-style), and sharded tuple."""
+    import jax
+    import jax.numpy as jnp
+    from facenet_tpu import facenet
+
+    rng = np.random.RandomState(0)
+    w = rng.randn(12, 7).astype(np.float32)
+
+    def raw(x):
+        out = jnp.asarray(x, jnp.float32).reshape(x.shape[0], -1)[:, :12] @ w
+        return out / jnp.linalg.norm(out, axis=1, keepdims=True)
+
+    jitted = jax.jit(raw)
+    batches = [(rng.randint(0, 255, (5, 4, 4, 3), np.uint8),
+                np.arange(i * 5, i * 5 + 5)) for i in range(4)]
+    # uneven tail batch exercises the padded sharded shape
+    batches.append((rng.randint(0, 255, (3, 4, 4, 3), np.uint8),
+                    np.arange(20, 23)))
+
+    sync_fn = lambda x: np.asarray(jitted(x))
+    want, want_labels = facenet.evaluate_embeddings(sync_fn, batches)
+
+    got, got_labels = facenet.evaluate_embeddings(jitted, batches)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    np.testing.assert_array_equal(got_labels, want_labels)
+
+    shard, shard_labels = facenet.evaluate_embeddings(jitted, batches,
+                                                      mesh=mesh8)
+    np.testing.assert_allclose(shard, want, atol=1e-6)
+    np.testing.assert_array_equal(shard_labels, want_labels)
