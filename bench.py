@@ -42,8 +42,34 @@ WARMUP = 3
 ITERS = 8
 
 
-def main():
+def _init_backend_with_watchdog(timeout_s=900,
+                                metric='embeddings_per_sec_single_chip'):
+    """jax backend init hangs FOREVER when the TPU tunnel is down (an
+    observed multi-hour failure mode); emit a diagnostic JSON line and
+    exit instead of stalling the driver. Normal init is ~75 s; the
+    watchdog only covers init, not compiles."""
+    import os
+    import threading
+
+    def expire():
+        print(json.dumps({
+            'metric': metric, 'value': 0.0,
+            'unit': 'img/s', 'vs_baseline': 0.0,
+            'error': f'TPU backend init exceeded {timeout_s}s '
+                     '(tunnel outage?)'}), flush=True)
+        os._exit(2)
+
+    timer = threading.Timer(timeout_s, expire)
+    timer.daemon = True
+    timer.start()
     import jax
+    jax.devices()
+    timer.cancel()
+    return jax
+
+
+def main():
+    jax = _init_backend_with_watchdog()
     import jax.numpy as jnp
 
     from facenet_tpu.models.inception_resnet_v1 import create_model

@@ -48,7 +48,8 @@ def run_epoch_like(trainer, state, n_steps, prefetch):
 
 
 def main():
-    import jax
+    from bench import _init_backend_with_watchdog
+    jax = _init_backend_with_watchdog(metric='train_img_per_sec_single_chip')
     from facenet_tpu.config import Config
     from facenet_tpu.train.softmax import SoftmaxTrainer
 
