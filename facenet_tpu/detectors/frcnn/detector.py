@@ -113,13 +113,24 @@ class FasterRCNN:
         return {'boxes': boxes, 'scores': jnp.where(valid, probs, 0.0),
                 'valid': valid}
 
-    def detect_batch(self, images):
+    def detect_batch_async(self, images):
+        """Dispatch the two-stage forward and return the on-device output
+        dict WITHOUT fetching — detect_files uses this to pipeline batch
+        n+1's decode/transfer under batch n's compute (same contract as
+        the MTCNN cascade's detect_batch_async/finalize_batch pair)."""
         images = jnp.asarray(images)
         if images.shape[1:3] != self.image_shape:
             raise ValueError(
                 f'expected {self.image_shape} images, got {images.shape[1:3]}'
                 ' — use letterbox_batch()')
-        return jax.device_get(self._detect_jit(self.params, images))
+        return self._detect_jit(self.params, images)
+
+    def finalize_batch(self, out_device):
+        """Fetch a `detect_batch_async` result to host arrays."""
+        return jax.device_get(out_device)
+
+    def detect_batch(self, images):
+        return self.finalize_batch(self.detect_batch_async(images))
 
 
 # ---------------------------------------------------------------------------

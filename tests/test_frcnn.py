@@ -113,3 +113,34 @@ def test_facade_frcnnv3_backend():
     results = fd.detect_images(imgs)
     assert isinstance(results, list) and len(results) == 1
     assert 'frcnnv3' in repr(fd)
+
+
+def test_frcnn_detect_files_pipelined(tmp_path):
+    """detect_files must take the two-deep async pipeline with the FRCNN
+    backend (detect_batch_async/finalize_batch) and match detect_images."""
+    from PIL import Image
+    from facenet_tpu import native
+    from facenet_tpu.detectors.face_detector import FaceDetector
+    if not native.available():
+        pytest.skip('native library unavailable')
+
+    rng = np.random.RandomState(0)
+    images, paths = [], []
+    for i, (h, w) in enumerate([(100, 140), (90, 90), (120, 80)]):
+        img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        p = tmp_path / f'{i}.png'
+        Image.fromarray(img).save(p)
+        images.append(img)
+        paths.append(str(p))
+
+    fd = FaceDetector(detector='frcnnv3', image_shape=SHAPE,
+                      max_proposals=64, max_outputs=8)
+    assert hasattr(fd._backend, 'detect_batch_async')
+    from_files = fd.detect_files(paths, batch_size=2)
+    from_arrays = fd.detect_images(images)
+    assert len(from_files) == 3
+    for got, want in zip(from_files, from_arrays):
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert (g.left, g.top, g.width, g.height) == \
+                   (w.left, w.top, w.width, w.height)
