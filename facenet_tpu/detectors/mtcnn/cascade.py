@@ -394,8 +394,11 @@ def letterbox_batch(images, target_shape):
             out[i] = native.letterbox_array(img, (th, tw))
         else:
             from PIL import Image
-            nh = max(1, min(int(h * scale + 0.5), th))
-            nw = max(1, min(int(w * scale + 0.5), tw))
+            # binary32 like letterbox_geometry/imageio.cc, so the canvas
+            # placement matches the pads computed above bit-for-bit
+            f32 = np.float32
+            nh = max(1, min(int(f32(h) * f32(scale) + f32(0.5)), th))
+            nw = max(1, min(int(f32(w) * f32(scale) + f32(0.5)), tw))
             if (nh, nw) != (h, w):
                 img = np.asarray(Image.fromarray(img).resize(
                     (nw, nh), Image.BILINEAR))
