@@ -67,7 +67,12 @@ def evaluate_detector(detector, images, gt_boxes_list, iou_threshold=0.5,
         chunk = images[start:start + batch_size]
         results = detector.detect_images(chunk)
         for faces, gt in zip(results, gt_boxes_list[start:start + batch_size]):
-            pred = np.array([[f.left, f.top, f.right, f.bottom]
+            # exact extents: BoundingBox.right/.bottom carry the
+            # reference's +1 convention (face_detector.py:51-54), which
+            # would inflate every box 1px right/down and bias IoU low
+            # (a perfect 2px-face match would score 4/9 and "miss")
+            pred = np.array([[f.left, f.top,
+                              f.left + f.width, f.top + f.height]
                              for f in faces], np.float32).reshape(-1, 4)
             gt = np.asarray(gt, np.float32).reshape(-1, 4)
             matched, ious = match_detections(gt, pred, iou_threshold)

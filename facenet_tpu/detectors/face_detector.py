@@ -117,10 +117,14 @@ class FaceDetector:
             self.mode = 'RGB'
             if params is None and weights:
                 # pretrained det1/det2/det3.npy directory (the standard
-                # davidsandberg/pip-mtcnn weight files; mtcnn/weights.py)
+                # davidsandberg/pip-mtcnn weight files; mtcnn/weights.py).
+                # Those P-Net regressors were trained against the upstream
+                # (2x+1)/11-wide base-box convention, so default to it
+                # (an explicit pnet_box_convention kwarg still wins).
                 from facenet_tpu.detectors.mtcnn.weights import (
                     load_davidsandberg_weights)
                 params = load_davidsandberg_weights(weights)
+                kwargs.setdefault('pnet_box_convention', 'caffe')
             self._backend = MTCNN(image_shape=image_shape, params=params,
                                   **kwargs)
             if params is not None:
@@ -130,8 +134,13 @@ class FaceDetector:
             from facenet_tpu.detectors.frcnn import FasterRCNN
             self.mode = 'RGB'
             if params is None and weights:
-                import numpy as _np
-                params = _np.load(weights, allow_pickle=True).item()
+                if str(weights).endswith('.npz'):
+                    # the repo's own bundle format (pretrained.save_params)
+                    from facenet_tpu.detectors.pretrained import load_params
+                    params = load_params(weights)
+                else:
+                    import numpy as _np
+                    params = _np.load(weights, allow_pickle=True).item()
             self._backend = FasterRCNN(image_shape=image_shape,
                                        params=params, **kwargs)
         else:
@@ -184,11 +193,18 @@ class FaceDetector:
             return results
 
         shape = self._backend.image_shape
-        geom = []
-        for p in paths:
-            hw = native.probe_image(p)
-            geom.append(native.letterbox_geometry(hw[0], hw[1], shape)
-                        if hw else (1.0, (0.0, 0.0)))
+        # letterbox geometry comes from a header-only probe, filled in
+        # PER BATCH as batches arrive (not as an O(N) serial prologue —
+        # over a large corpus the upfront probe loop would idle the
+        # device for its whole duration); the probe overlaps the
+        # in-flight batches' device work.
+        geom = {}
+
+        def probe_batch(idxs):
+            for j in idxs:
+                hw = native.probe_image(paths[j])
+                geom[j] = (native.letterbox_geometry(hw[0], hw[1], shape)
+                           if hw else (1.0, (0.0, 0.0)))
 
         loader = native.NativeBatchLoader(paths, shape,
                                           mode=native.MODE_LETTERBOX)
@@ -213,8 +229,9 @@ class FaceDetector:
 
             oks = []
             if dispatch is None:
-                for images, ok in loader.iterate(batches):
+                for bi, (images, ok) in enumerate(loader.iterate(batches)):
                     oks.extend(bool(v) for v in ok)
+                    probe_batch(batches[bi])
                     collect(self._backend.detect_batch(images),
                             len(images), len(results))
                 return results
@@ -222,10 +239,13 @@ class FaceDetector:
             from collections import deque
             inflight = deque()          # (device_out, n_images, base_row)
             base = 0
-            for images, ok in loader.iterate(batches):
+            for bi, (images, ok) in enumerate(loader.iterate(batches)):
                 oks.extend(bool(v) for v in ok)
                 inflight.append((dispatch(images), len(images), base))
                 base += len(images)
+                # probe AFTER dispatch: the headers read while the batch
+                # (and its predecessors) run on device
+                probe_batch(batches[bi])
                 if len(inflight) > 2:
                     out_d, n, b = inflight.popleft()
                     collect(finalize(out_d), n, b)

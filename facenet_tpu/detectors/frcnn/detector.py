@@ -150,15 +150,8 @@ def match_anchors(anchors, gt_boxes, pos_iou=0.7, neg_iou=0.3):
         labels[:] = 0
         return labels, targets
 
-    x1 = np.maximum(anchors[:, None, 0], gt[None, :, 0])
-    y1 = np.maximum(anchors[:, None, 1], gt[None, :, 1])
-    x2 = np.minimum(anchors[:, None, 2], gt[None, :, 2])
-    y2 = np.minimum(anchors[:, None, 3], gt[None, :, 3])
-    inter = np.maximum(x2 - x1, 0) * np.maximum(y2 - y1, 0)
-    area_a = ((anchors[:, 2] - anchors[:, 0]) *
-              (anchors[:, 3] - anchors[:, 1]))[:, None]
-    area_g = ((gt[:, 2] - gt[:, 0]) * (gt[:, 3] - gt[:, 1]))[None, :]
-    iou = inter / np.maximum(area_a + area_g - inter, 1e-10)
+    from facenet_tpu.detectors.evaluation import iou_matrix
+    iou = iou_matrix(anchors, gt)
 
     best_gt = iou.argmax(axis=1)
     best_iou = iou.max(axis=1)
@@ -236,7 +229,9 @@ class FasterRCNNTrainer:
             boxes = decode_deltas(det.anchors[None], deltas)
             score_for_roi = jnp.where(lab == 1, 1.0, 0.0) + \
                 jax.nn.sigmoid(obj) * 0.001
-            roi_boxes, roi_scores, roi_valid = jax.vmap(
+            # scores/validity are not consumed: every one of the K RoIs
+            # trains the head (labels come from RoI-vs-gt IoU below)
+            roi_boxes, _, _ = jax.vmap(
                 partial(top_k_boxes, k=k))(
                     jax.lax.stop_gradient(boxes), score_for_roi,
                     jnp.ones_like(lab, bool))

@@ -64,6 +64,24 @@ def pyramid_scales(height, width, min_face_size=20, factor=0.709,
     return scales
 
 
+def pnet_base_boxes(gh, gw, scale, convention='exact'):
+    """Base boxes [gh, gw, 4] for a P-Net output grid at pyramid `scale`.
+
+    'exact': cell (y, x) covers its true receptive window
+    [2x, 2x+12) / scale — the convention the in-repo trainer's regression
+    targets use. 'caffe': the upstream davidsandberg generateBoundingBox
+    form q1=(2x+1)/scale, q2=(2x+12)/scale (11-wide), which Caffe-era
+    pretrained P-Net regressors were trained against.
+    """
+    off = 1.0 if convention == 'caffe' else 0.0
+    ys = (jnp.arange(gh, dtype=jnp.float32) * PNET_STRIDE + off) / scale
+    xs = (jnp.arange(gw, dtype=jnp.float32) * PNET_STRIDE + off) / scale
+    y1 = ys[:, None] * jnp.ones((1, gw))
+    x1 = xs[None, :] * jnp.ones((gh, 1))
+    cell = (PNET_CELL - off) / scale
+    return jnp.stack([x1, y1, x1 + cell, y1 + cell], axis=-1)
+
+
 class MTCNN:
     """Batched TPU MTCNN detector.
 
@@ -77,7 +95,18 @@ class MTCNN:
                  factor=0.709, thresholds=(0.6, 0.7, 0.7),
                  max_proposals=256, max_refined=64, max_outputs=32,
                  params=None, seed=0, dtype=jnp.bfloat16,
-                 pnet_impl='auto'):
+                 pnet_impl='auto', pnet_box_convention='exact'):
+        # P-Net base-box convention. 'exact' maps grid cell x to its true
+        # receptive window [2x, 2x+12) — what the in-repo trainer's
+        # regression targets assume. 'caffe' reproduces the upstream
+        # davidsandberg/Caffe generateBoundingBox q1=(2x+1)/s,
+        # q2=(2x+12)/s (an 11-wide cell): weights imported from det1.npy
+        # were TRAINED against that base, so their regressors are only
+        # in-distribution under it (weights.py sets this automatically).
+        if pnet_box_convention not in ('exact', 'caffe'):
+            raise ValueError(
+                f'unknown pnet_box_convention {pnet_box_convention!r}')
+        self.pnet_box_convention = pnet_box_convention
         self.image_shape = (int(image_shape[0]), int(image_shape[1]))
         self.min_face_size = min_face_size
         self.factor = factor
@@ -199,13 +228,8 @@ class MTCNN:
         # scaled image -> divide by scale for original coordinates
         b, gh, gw = probs.shape
 
-        ys = jnp.arange(gh, dtype=jnp.float32) * PNET_STRIDE
-        xs = jnp.arange(gw, dtype=jnp.float32) * PNET_STRIDE
-        y1 = (ys[:, None] * jnp.ones((1, gw))) / scale
-        x1 = (xs[None, :] * jnp.ones((gh, 1))) / scale
-        cell = PNET_CELL / scale
-
-        base = jnp.stack([x1, y1, x1 + cell, y1 + cell], axis=-1)  # [gh,gw,4]
+        base = pnet_base_boxes(gh, gw, scale,
+                               self.pnet_box_convention)  # [gh,gw,4]
         base = jnp.broadcast_to(base[None], (b, gh, gw, 4))
 
         boxes = apply_bbox_regression(base.reshape(b, -1, 4),
@@ -340,9 +364,9 @@ class MTCNN:
     def finalize_batch(self, out_device):
         """Fetch a `detect_batch_async` result and report capacity drops."""
         out = jax.device_get(out_device)
-        dropped = {stage: int(counts.sum())
-                   for stage, counts in out['overflow'].items()
-                   if counts.sum() > 0}
+        totals = ((stage, int(counts.sum()))
+                  for stage, counts in out['overflow'].items())
+        dropped = {stage: n for stage, n in totals if n > 0}
         if dropped:
             from facenet_tpu.logging import logger
             logger.warning(
@@ -374,6 +398,11 @@ def letterbox_batch(images, target_shape):
     available — ~6x the serial PIL path — with PIL as fallback; both share
     the geometry formula in `native.letterbox_geometry`.
 
+    Accepts grayscale [H, W] / [H, W, 1] (broadcast to RGB) and RGBA
+    [H, W, 4] (alpha dropped) inputs — the native letterbox reads exactly
+    H*W*3 bytes, so shape normalization here is a memory-safety contract,
+    not a convenience.
+
     Returns (batch [B, H, W, 3] uint8, scales [B], pads [B, 2]) such that
     original_coords = (letterboxed_coords - pad) / scale.
     """
@@ -386,6 +415,18 @@ def letterbox_batch(images, target_shape):
     use_native = native.available()
 
     for i, img in enumerate(images):
+        img = np.asarray(img)
+        if img.ndim == 2:
+            img = np.repeat(img[:, :, None], 3, axis=2)
+        elif img.ndim == 3 and img.shape[2] == 1:
+            img = np.repeat(img, 3, axis=2)
+        elif img.ndim == 3 and img.shape[2] == 4:
+            img = img[:, :, :3]
+        if img.ndim != 3 or img.shape[2] != 3:
+            raise ValueError(f'image {i}: expected [H, W, (1|3|4)] or '
+                             f'[H, W], got shape {img.shape}')
+        if img.dtype != np.uint8:
+            img = np.clip(img, 0, 255).astype(np.uint8)
         h, w = img.shape[:2]
         scale, (left, top) = native.letterbox_geometry(h, w, (th, tw))
         scales[i] = scale

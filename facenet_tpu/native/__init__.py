@@ -180,6 +180,11 @@ def letterbox_array(image, target_shape):
     if lib is None:
         raise RuntimeError(f'native library unavailable: {_build_error}')
     image = np.ascontiguousarray(image, dtype=np.uint8)
+    if image.ndim != 3 or image.shape[2] != 3:
+        # the C++ reads exactly H*W*3 bytes — anything else would read
+        # out of bounds or reinterpret channels
+        raise ValueError(f'letterbox_array needs [H, W, 3] uint8, got '
+                         f'{image.shape}')
     th, tw = int(target_shape[0]), int(target_shape[1])
     out = np.empty((th, tw, 3), dtype=np.uint8)
     lib.fn_letterbox_array(

@@ -392,3 +392,68 @@ def test_margin_crop_image_processing():
 
     with pytest.raises(ValueError):
         image_processing(np.zeros((5, 5, 3)), box, Config({'size': 32}))
+
+
+def test_pnet_base_boxes_conventions():
+    """'exact' covers the true receptive window [2x, 2x+12)/scale;
+    'caffe' reproduces upstream generateBoundingBox q1=(2x+1)/s,
+    q2=(2x+12)/s (det*.npy regressors are trained against that base)."""
+    from facenet_tpu.detectors.mtcnn.cascade import pnet_base_boxes
+
+    scale = 0.5
+    exact = np.asarray(pnet_base_boxes(3, 4, scale, 'exact'))
+    caffe = np.asarray(pnet_base_boxes(3, 4, scale, 'caffe'))
+    for y in range(3):
+        for x in range(4):
+            np.testing.assert_allclose(
+                exact[y, x],
+                [2 * x / scale, 2 * y / scale,
+                 (2 * x + 12) / scale, (2 * y + 12) / scale], rtol=1e-6)
+            np.testing.assert_allclose(
+                caffe[y, x],
+                [(2 * x + 1) / scale, (2 * y + 1) / scale,
+                 (2 * x + 12) / scale, (2 * y + 12) / scale], rtol=1e-6)
+
+
+def test_detect_handles_gray_and_rgba_inputs():
+    """Grayscale/RGBA inputs must letterbox safely (the native letterbox
+    reads exactly H*W*3 bytes — ungated these were an out-of-bounds read
+    / channel-skewed garbage) and match the equivalent RGB detection."""
+    from facenet_tpu.detectors.face_detector import FaceDetector
+    from facenet_tpu.detectors.mtcnn.cascade import letterbox_batch
+
+    rng = np.random.RandomState(0)
+    gray = rng.randint(0, 256, (60, 80), np.uint8)
+    rgb = np.repeat(gray[:, :, None], 3, axis=2)
+    rgba = np.dstack([rgb, np.full((60, 80), 255, np.uint8)])
+
+    got = letterbox_batch([gray, rgb, rgba, gray[:, :, None]], (96, 96))[0]
+    np.testing.assert_array_equal(got[0], got[1])
+    np.testing.assert_array_equal(got[2], got[1])
+    np.testing.assert_array_equal(got[3], got[1])
+
+    det = FaceDetector(detector='mtcnn', image_shape=(96, 96),
+                       max_proposals=64, max_refined=16, max_outputs=8,
+                       thresholds=(0.1, 0.1, 0.1))
+    for img in (gray, rgba):
+        boxes = det.detect(img)
+        assert isinstance(boxes, list)
+
+    with pytest.raises(ValueError):
+        letterbox_batch([rng.randint(0, 256, (8, 8, 2), np.uint8)], (96, 96))
+
+
+def test_frcnn_weights_npz_roundtrip(tmp_path):
+    """FaceDetector(detector='frcnnv3', weights=<npz>) must accept the
+    repo's own bundle format (pretrained.save_params)."""
+    from facenet_tpu.detectors import pretrained
+    from facenet_tpu.detectors.face_detector import FaceDetector
+
+    params = pretrained.load_bundled('frcnnv3')
+    p = tmp_path / 'frcnn.npz'
+    pretrained.save_params(p, params)
+    fd = FaceDetector(detector='frcnnv3', weights=str(p),
+                      image_shape=(128, 128), max_proposals=64,
+                      max_outputs=8)
+    img = np.random.RandomState(0).randint(0, 256, (100, 120, 3), np.uint8)
+    assert isinstance(fd.detect(img), list)
