@@ -63,10 +63,15 @@ class ImageClass:
         files = list(self.path.glob('*'))
 
         if config.h5file:
+            # one open for the whole class — per-image h5utils.read would
+            # re-open/parse the file O(N) times on a large dataset
+            import h5py
             h5file = Path(str(config.h5file)).expanduser()
-            files = [f for f in files
-                     if h5utils.read(h5file, h5utils.filename2key(f, 'is_valid'),
-                                     default=True)]
+            with h5py.File(str(h5file), 'r') as hf:
+                def is_valid(f, hf=hf):
+                    key = h5utils.filename2key(f, 'is_valid')
+                    return bool(hf[key][...]) if key in hf else True
+                files = [f for f in files if is_valid(f)]
 
         if config.max_nrof_images:
             if len(files) > config.max_nrof_images:
@@ -386,8 +391,13 @@ class BatchLoader:
             return False
 
         def produce():
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                try:
+            # end-of-stream sentinel: None for a clean end, the exception
+            # itself for a producer failure — swallowing it here would end
+            # iteration early and SILENTLY (a corrupt image would truncate
+            # an epoch with no error, stranding the resume cursor)
+            end = None
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                     for idx in self._index_stream():
                         if stop.is_set():
                             return
@@ -396,8 +406,9 @@ class BatchLoader:
                         batch = np.stack(images)
                         if not put_unless_stopped((batch, self.labels[idx])):
                             return
-                finally:
-                    put_unless_stopped(None)
+            except BaseException as exc:
+                end = exc
+            put_unless_stopped(end)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
@@ -407,6 +418,8 @@ class BatchLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()
@@ -496,16 +509,24 @@ class PKPipeline:
             self.all_files, (self.loader.height, self.loader.width),
             mode=mode, num_threads=self.num_workers,
             prefetch=max(self.prefetch, 1))
-        pending_labels = []
+        pending_meta = []
 
         def stream():
             for idx, labels in self._index_batches():
-                pending_labels.append(labels)
+                pending_meta.append((idx, labels))
                 yield idx
 
         try:
-            for images, _ok in ldr.iterate(stream()):
-                yield images, pending_labels.pop(0)
+            for images, ok in ldr.iterate(stream()):
+                idx, labels = pending_meta.pop(0)
+                if not ok.all():
+                    # same fail-loud contract as BatchLoader._iter_native:
+                    # retry failed rows through the PIL fallback; a truly
+                    # unreadable file raises rather than training the
+                    # metric objective on silent zero images
+                    for row in np.flatnonzero(ok == 0):
+                        images[row] = self.loader(self.all_files[idx[row]])
+                yield images, labels
         finally:
             ldr.close()
 
@@ -554,15 +575,23 @@ def equal_batches_input_pipeline(embeddings, config, seed=None):
             0.1 * sum(len(e) for e in embeddings) / len(embeddings))
         config.nrof_examples_per_class = max(config.nrof_examples_per_class, 1)
 
-    p = int(config.nrof_classes_per_batch)
     k = int(config.nrof_examples_per_class)
+    # classes with fewer than k embeddings can't contribute a full group;
+    # the default P (= all classes) must shrink with them or rnd.sample
+    # would raise on the first batch
+    usable = [e for e in embeddings if len(e) >= k]
+    if not usable:
+        raise ValueError(
+            f'no class has >= {k} embeddings (largest: '
+            f'{max((len(e) for e in embeddings), default=0)})')
+    p = min(int(config.nrof_classes_per_batch), len(usable))
+    config.nrof_classes_per_batch = p
 
     rnd = random.Random(seed)
 
     def generator():
         while True:
             batch = []
-            usable = [e for e in embeddings if len(e) >= k]
             for embs in rnd.sample(usable, p):
                 rows = rnd.sample(range(len(embs)), k)
                 batch.append(np.asarray(embs)[rows])

@@ -163,9 +163,16 @@ def save_compiled(path, model, variables, platforms=('cpu', 'tpu'),
                 return fast_mod.fast_forward(fparams, fcfg, images,
                                              model.image_size,
                                              model.normalization)
-        except Exception:
+        except Exception as exc:
             if quantize:
                 raise
+            # fall back to the unfused apply, but LOUDLY — a silent
+            # fallback would ship a slower artifact (no BN folding /
+            # branch fusion) while masking the underlying bug
+            from facenet_tpu.logging import logger
+            logger.warning(
+                f'fused serving path unavailable for export ({exc!r}); '
+                'serializing the plain model.apply graph instead')
             forward = None
     elif quantize:
         raise ValueError(f'quantize={quantize!r} needs a fused fast path; '

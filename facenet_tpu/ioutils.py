@@ -134,6 +134,15 @@ class ImageLoader:
         path = self.files[self._cursor]
         self._cursor += 1
         self.filename = str(path)
+        if self.display and self._cursor % int(self.display) == 0:
+            elapsed = time.time() - self.start_time
+            info = (f'{self._cursor}/{self.size} images '
+                    f'({self._cursor / max(elapsed, 1e-9):.1f} img/s)')
+            if self.log:
+                from facenet_tpu.logging import logger
+                logger.info(info)
+            else:
+                print(info, flush=True)
         return pil2array(read_image(path))
 
     def reset(self):
@@ -175,7 +184,10 @@ def write_elapsed_time(targets, start_time):
     for target in targets:
         path = _as_path(target)
         if path.suffix == '.h5':
-            h5utils.write(path, 'elapsed_time', minutes)
+            # write_dict APPENDS along axis 0 (h5utils.write would
+            # delete+recreate, keeping only the last call's value — the
+            # per-epoch timing history would be silently lost)
+            h5utils.write_dict(path, {'elapsed_time': minutes})
         else:
             write_to_file(path, f'elapsed time: {minutes:.3f}\n', mode='a')
 

@@ -187,3 +187,65 @@ def test_batch_loader_native_recovers_bmp(tmp_path):
     images, labels = batches[0]
     np.testing.assert_array_equal(images[0], a)
     np.testing.assert_array_equal(images[1], b)
+
+
+def test_batch_loader_pil_path_fail_loud(tmp_path, monkeypatch):
+    """With the native loader unavailable, a decode error in the PIL
+    producer thread must RAISE in the consumer — not end iteration early
+    and silently (which would truncate epochs and strand the cursor)."""
+    from facenet_tpu import native
+    from facenet_tpu.config import Config
+    from facenet_tpu.dataset import BatchLoader, ImageLoader
+
+    good = tmp_path / 'good.png'
+    Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(good)
+    bad = tmp_path / 'bad.png'
+    bad.write_bytes(b'not an image at all')
+
+    monkeypatch.setattr(native, 'available', lambda: False)
+    loader = ImageLoader(Config({'size': 16}))
+    bl = BatchLoader([str(good), str(bad)], [0, 0], loader, batch_size=2)
+    with pytest.raises(Exception):
+        list(iter(bl))
+
+
+def test_pk_pipeline_native_recovers_bmp(tmp_path):
+    """The P×K pipeline must honor the native loader's ok flags: a BMP
+    (native decode fails, ok=0) must be retried through PIL with its real
+    pixels, never trained as a silent zero image."""
+    from facenet_tpu.config import Config
+    from facenet_tpu.dataset import ImageLoader, PKPipeline
+
+    d = tmp_path / 'cls'
+    d.mkdir()
+    vals = {}
+    for i, (name, v) in enumerate([('a.png', 7), ('b.png', 5), ('c.bmp', 9)]):
+        arr = np.full((16, 16, 3), v, np.uint8)
+        Image.fromarray(arr).save(d / name)
+        vals[v] = True
+
+    db = dataset.Database(dataset.DefaultConfig(tmp_path))
+    loader = ImageLoader(Config({'size': 16}))
+    cfg = Config({'nrof_classes_per_batch': 1, 'nrof_examples_per_class': 3})
+    pipe = PKPipeline(loader, db.classes, cfg, seed=0)
+    images, labels = next(pipe)
+    assert images.shape == (3, 16, 16, 3)
+    got = sorted(int(images[i, 0, 0, 0]) for i in range(3))
+    assert got == [5, 7, 9], got  # 9 = the BMP recovered via PIL, not 0
+
+
+def test_equal_batches_default_p_caps_to_usable():
+    """Default P (= all classes) must shrink to the classes that can
+    actually contribute k embeddings instead of raising on first draw."""
+    rng = np.random.RandomState(0)
+    embs = [rng.randn(10, 4).astype(np.float32) for _ in range(3)]
+    embs.append(rng.randn(1, 4).astype(np.float32))   # too small for k=2
+    cfg = Config({'nrof_examples_per_class': 2})
+    gen = dataset.equal_batches_input_pipeline(embs, cfg, seed=0)
+    batch = next(gen)
+    assert batch.shape == (3 * 2, 4)
+
+    with pytest.raises(ValueError):
+        dataset.equal_batches_input_pipeline(
+            [np.zeros((1, 4), np.float32)],
+            Config({'nrof_examples_per_class': 2}), seed=0)

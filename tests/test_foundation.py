@@ -115,3 +115,19 @@ def test_value_or_semantics():
     assert value_or(cfg.missing, 7) == 7       # empty Config -> default
     assert value_or(None, 7) == 7
     assert value_or('', 7) == 7
+
+
+def test_write_elapsed_time_h5_appends(tmp_path):
+    """Repeated calls must build a timing HISTORY in the h5 target (the
+    docstring's appendable dataset), not overwrite a single value."""
+    import h5py
+    from facenet_tpu import ioutils
+
+    f = tmp_path / 'report.h5'
+    t = ioutils.get_time()
+    ioutils.write_elapsed_time(f, t)
+    ioutils.write_elapsed_time(f, t)
+    ioutils.write_elapsed_time([f, tmp_path / 'report.txt'], t)
+    with h5py.File(f, 'r') as hf:
+        assert hf['elapsed_time'].shape[0] == 3
+    assert (tmp_path / 'report.txt').read_text().startswith('elapsed time:')
