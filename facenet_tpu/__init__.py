@@ -56,6 +56,11 @@ class FaceNet:
             config = Config({'path': str(config), 'normalize': True})
 
         self.config = config
+        if not config.path:
+            raise ValueError(
+                'FaceNet needs config.path pointing at an exported model '
+                'directory (got an empty/missing path — pass the MODEL '
+                "config, e.g. FaceNet(cfg.model), not the app config)")
         path = Path(str(config.path)).expanduser()
 
         bundle = export.load_model(path)

@@ -340,9 +340,11 @@ def l2_regularization(params, weight_decay=WEIGHT_DECAY):
 def create_model(model_cfg=None, image_cfg=None, dtype=jnp.bfloat16):
     """Build an InceptionResnetV1 from facenet-style config objects."""
     image_cfg = image_cfg or Config({'size': 160, 'normalization': 0})
+    from facenet_tpu.config import value_or
     return InceptionResnetV1(
         config=model_cfg,
         image_size=int(image_cfg.size or 160),
-        normalization=int(image_cfg.normalization or 0),
+        # normalization 0 is a legitimate mode — `or` would misread it
+        normalization=int(value_or(image_cfg.normalization, 0)),
         dtype=dtype,
     )

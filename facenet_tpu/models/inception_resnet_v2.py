@@ -284,9 +284,11 @@ class InceptionResnetV2(nn.Module):
 
 def create_model(model_cfg=None, image_cfg=None, dtype=jnp.bfloat16):
     image_cfg = image_cfg or Config({'size': 160, 'normalization': 0})
+    from facenet_tpu.config import value_or
     return InceptionResnetV2(
         config=model_cfg,
         image_size=int(image_cfg.size or 160),
-        normalization=int(image_cfg.normalization or 0),
+        # normalization 0 is a legitimate mode — `or` would misread it
+        normalization=int(value_or(image_cfg.normalization, 0)),
         dtype=dtype,
     )

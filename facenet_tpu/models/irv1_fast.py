@@ -214,6 +214,14 @@ def _crelu(x, w, stride=1, padding='SAME'):
     return jax.nn.relu(_conv(x, w, stride, padding))
 
 
+def _in_ch(w):
+    """Input-channel width of a (possibly int8-quantized) conv entry —
+    the fused branch-head tensors are split by what each consumer conv
+    actually takes, so non-default filter configs slice correctly."""
+    k = w['k'] if 'k' in w else w['kq']
+    return int(k.shape[2])
+
+
 STEM_SKIP = ('Bottleneck', 'Conv2d_1a_s2d', 'Conv2d_1a_3x3',
              'Conv2d_2a_3x3', 'Conv2d_2b_3x3')
 
@@ -268,8 +276,11 @@ def fast_forward(params, cfg, images, image_size=160, normalization=0,
     scale35 = jnp.asarray(float(cfg.block35.scale), dtype)
     for i in range(int(cfg.block35.repeat)):
         w = params[f'Repeat.block35_{i + 1}']
-        heads = _crelu(x, w['heads'])                      # [.., 96]
-        t0, t1, t2 = heads[..., :32], heads[..., 32:64], heads[..., 64:96]
+        heads = _crelu(x, w['heads'])                      # [.., 96 default]
+        n1, n2 = _in_ch(w['b1b']), _in_ch(w['b2b'])
+        n0 = heads.shape[-1] - n1 - n2
+        t0, t1, t2 = (heads[..., :n0], heads[..., n0:n0 + n1],
+                      heads[..., n0 + n1:])
         t1 = _crelu(t1, w['b1b'])
         t2 = _crelu(_crelu(t2, w['b2b']), w['b2c'])
         up = _conv(jnp.concatenate([t0, t1, t2], axis=3), w['up'])
@@ -286,15 +297,18 @@ def fast_forward(params, cfg, images, image_size=160, normalization=0,
     scale17 = jnp.asarray(float(cfg.block17.scale), dtype)
     for i in range(int(cfg.block17.repeat)):
         w = params[f'Repeat_1.block17_{i + 1}']
-        heads = _crelu(x, w['heads'])                      # [.., 256]
-        t0, t1 = heads[..., :128], heads[..., 128:]
+        heads = _crelu(x, w['heads'])                      # [.., 256 default]
+        n1 = _in_ch(w['b1b'])
+        t0, t1 = heads[..., :heads.shape[-1] - n1], heads[..., -n1:]
         t1 = _crelu(_crelu(t1, w['b1b']), w['b1c'])
         up = _conv(jnp.concatenate([t0, t1], axis=3), w['up'])
         x = jax.nn.relu(x + scale17 * up)
 
     w = params['Mixed_7a']
-    heads = _crelu(x, w['heads'])                          # [.., 768]
-    h0, h1, h2 = heads[..., :256], heads[..., 256:512], heads[..., 512:]
+    heads = _crelu(x, w['heads'])                          # [.., 768 default]
+    n0, n1 = _in_ch(w['b0b']), _in_ch(w['b1b'])
+    h0, h1, h2 = (heads[..., :n0], heads[..., n0:n0 + n1],
+                  heads[..., n0 + n1:])
     t0 = _crelu(h0, w['b0b'], 2, 'VALID')
     t1 = _crelu(h1, w['b1b'], 2, 'VALID')
     t2 = _crelu(_crelu(h2, w['b2b']), w['b2c'], 2, 'VALID')
@@ -308,8 +322,9 @@ def fast_forward(params, cfg, images, image_size=160, normalization=0,
         final = i == n8
         blk = 'Block8' if final else f'Repeat_2.block8_{i + 1}'
         w = params[blk]
-        heads = _crelu(x, w['heads'])                      # [.., 384]
-        t0, t1 = heads[..., :192], heads[..., 192:]
+        heads = _crelu(x, w['heads'])                      # [.., 384 default]
+        n1 = _in_ch(w['b1b'])
+        t0, t1 = heads[..., :heads.shape[-1] - n1], heads[..., -n1:]
         t1 = _crelu(_crelu(t1, w['b1b']), w['b1c'])
         up = _conv(jnp.concatenate([t0, t1], axis=3), w['up'])
         scale = float(cfg.block8_2.scale if final else cfg.block8_1.scale)

@@ -28,10 +28,17 @@ def _bilinear_sample(image, ys, xs):
     wy = ys - y0
     wx = xs - x0
 
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    y1i = jnp.clip(y0i + 1, 0, h - 1)
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-    x1i = jnp.clip(x0i + 1, 0, w - 1)
+    # BOTH taps clip from the UNCLIPPED floor: deriving tap 1 from the
+    # clipped tap 0 made samples at negative coords interpolate between
+    # pixels 0 and 1 with inverted weights instead of clamping to the
+    # edge (top/left borders got wrong content, asymmetric with
+    # bottom/right which clamped correctly)
+    y0f = y0.astype(jnp.int32)
+    x0f = x0.astype(jnp.int32)
+    y0i = jnp.clip(y0f, 0, h - 1)
+    y1i = jnp.clip(y0f + 1, 0, h - 1)
+    x0i = jnp.clip(x0f, 0, w - 1)
+    x1i = jnp.clip(x0f + 1, 0, w - 1)
 
     f = image.astype(jnp.float32)
     v00 = f[y0i, x0i]
@@ -59,8 +66,12 @@ def _interp_matrix(lo, hi, n, s):
     coords = lo + grid * (hi - lo) - 0.5
     c0 = jnp.floor(coords)
     w = coords - c0
-    c0i = jnp.clip(c0.astype(jnp.int32), 0, n - 1)
-    c1i = jnp.clip(c0i + 1, 0, n - 1)
+    # clip both taps from the unclipped floor (see _bilinear_sample): a
+    # sample left of pixel 0 must take pixel 0 twice (true edge clamp),
+    # not blend pixels 0 and 1 with inverted weights
+    c0f = c0.astype(jnp.int32)
+    c0i = jnp.clip(c0f, 0, n - 1)
+    c1i = jnp.clip(c0f + 1, 0, n - 1)
     pos = jnp.arange(n, dtype=jnp.int32)[None, :]
     return ((pos == c0i[:, None]) * (1 - w)[:, None] +
             (pos == c1i[:, None]) * w[:, None])

@@ -73,6 +73,12 @@ def binary_cross_entropy_pair_loss(logits, nrof_classes_per_batch,
     iu, ku = np.triu_indices(batch_size, k=1)
     labels = (iu // nrof_examples_per_class ==
               ku // nrof_examples_per_class).astype(np.float32)
+    if labels.sum() == 0:
+        # K=1 yields zero positive pairs -> pos_weight inf -> silent
+        # all-NaN loss; fail loudly with the actionable knob instead
+        raise ValueError(
+            'no positive pairs in the batch: nrof_examples_per_class='
+            f'{nrof_examples_per_class} must be >= 2')
     pos_weight = len(labels) / labels.sum() - 1
 
     logits = logits[iu, ku].astype(jnp.float32)

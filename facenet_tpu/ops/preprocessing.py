@@ -35,9 +35,13 @@ def image_processing(image_batch, size, normalization=0, dtype=jnp.float32):
     x = image_batch
     needs_resize = x.shape[1] != size or x.shape[2] != size
     if needs_resize:
+        # antialias=False matches the reference's tf.image.resize default
+        # (ref facenet.py:70) — jax.image.resize defaults to antialias=True,
+        # whose low-pass kernel would silently change every downscaled
+        # pixel (and embedding) vs the pipeline this re-implements
         x = jax.image.resize(
             x.astype(jnp.float32), (x.shape[0], size, size, x.shape[3]),
-            method='bilinear')
+            method='bilinear', antialias=False)
 
     # Reductions run on the RAW input (uint8 when no resize): min/max of the
     # uint8 bytes equals min/max of their float cast, the reduction pass

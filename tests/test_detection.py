@@ -457,3 +457,22 @@ def test_frcnn_weights_npz_roundtrip(tmp_path):
                       max_outputs=8)
     img = np.random.RandomState(0).randint(0, 256, (100, 120, 3), np.uint8)
     assert isinstance(fd.detect(img), list)
+
+
+def test_bilinear_edge_clamp_left_top():
+    """Samples left of pixel 0 must clamp to the edge pixel — the old
+    second-tap-from-clipped-first derivation blended pixels 0 and 1 with
+    inverted weights (asymmetric with the correctly-clamped right/bottom)."""
+    ramp = jnp.asarray(
+        np.arange(5, dtype=np.float32)[:, None, None] *
+        np.ones((1, 4, 1), np.float32))     # [5, 4, 1], value = row index
+    out = np.asarray(image_ops._bilinear_sample(
+        ramp, jnp.asarray([-0.01, -0.9, 4.7]), jnp.asarray([1.0, 2.0, 1.0])))
+    np.testing.assert_allclose(out[:, 0], [0.0, 0.0, 4.0], atol=1e-6)
+
+    # interp-matrix form: box [0, 10) upsampled to 24 — the first output
+    # sample sits left of pixel 0's center and must take pixel 0 entirely
+    m = np.asarray(image_ops._interp_matrix(0.0, 10.0, 10, 24))
+    np.testing.assert_allclose(m[0], np.eye(10, dtype=np.float32)[0],
+                               atol=1e-6)
+    np.testing.assert_allclose(m.sum(axis=1), 1.0, atol=1e-6)
