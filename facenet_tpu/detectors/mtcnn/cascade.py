@@ -142,13 +142,16 @@ class MTCNN:
             self._level_resize_matrices(scale) for scale in self.scales]
 
         # P-Net backend: 'flat' = the Pallas flat-lane MXU kernel
-        # (pallas_pnet.py v3 — measured ~5x the XLA convs on v5e);
-        # 'flax' = the XLA conv path; 'auto' picks flat on TPU.
-        # 'flat-interpret' runs the kernel in interpret mode (tests).
+        # (pallas_pnet.py v3 — ~5x the XLA convs at level-0 kernel time,
+        # but END-TO-END the cascade measures flax 10.63 vs flat 11.07
+        # ms/batch16 on v5e (tools/time_cascade_ab.py, chained timing) —
+        # the per-level dispatch + head-extraction overhead eats the
+        # kernel win, and Mosaic compiles cost minutes per geometry.
+        # 'flax' = the XLA conv path; 'auto' therefore picks flax
+        # everywhere. 'flat-interpret' runs the kernel in interpret
+        # mode (tests).
         if pnet_impl == 'auto':
-            import jax as _jax
-            pnet_impl = 'flat' if _jax.default_backend() == 'tpu' \
-                else 'flax'
+            pnet_impl = 'flax'
         if pnet_impl not in ('flat', 'flax', 'flat-interpret'):
             raise ValueError(f'unknown pnet_impl {pnet_impl!r}')
         self.pnet_impl = pnet_impl

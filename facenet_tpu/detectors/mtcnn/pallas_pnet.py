@@ -327,6 +327,15 @@ def pnet_forward_pallas(weights, x_nchw, interpret=False):
 # [C, H*W] relayout runs in XLA — the cascade avoids that entirely by
 # having the pyramid-resize matmuls emit channel planes directly).
 #
+# END-TO-END, however, the kernel win does not survive: the full cascade
+# measures flax 10.63 vs flat 11.07 ms/batch16 on v5e
+# (tools/time_cascade_ab.py, chained device-resident timing, 20 iters) —
+# per-level dispatch, the padded-W head extraction, and the smaller
+# pyramid levels (where the XLA convs are already cheap) absorb the
+# level-0 saving. The cascade's 'auto' backend therefore stays 'flax';
+# the kernel remains wired as pnet_impl='flat' with interpret-mode tests
+# so the layout technique is preserved for a future whole-pyramid fusion.
+#
 #   * activations are [C_pad, H*W]: C on sublanes, the whole image
 #     flattened on the LANE dim. A (dy, dx) tap is a static lane slice
 #     at offset dy*W + dx; W is padded to a multiple of 128 so the
