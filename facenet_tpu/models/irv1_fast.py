@@ -41,6 +41,13 @@ forward is within ~25% of its HBM/MXU bound at 40k img/s single-chip;
 remaining headroom is a full VMEM-resident Pallas stem (est. ceiling
 ~43k img/s end-to-end) whose cost/risk the P-Net record
 (detectors/mtcnn/pallas_pnet.py) prices as high.
+
+That Pallas stem was then BUILT and MEASURED (ops/pallas_stem.py,
+flat-lane conv1+2a+2b+pool fusion): 0.43x at kernel level and 25.8k vs
+38.2k img/s bf16 / 28.7k vs 49.9k int8 at serving level
+(tools/try_stem_flat.py, tools/time_stem_serving.py). The stem='xla'
+default is final for this design family; see pallas_stem.py's docstring
+for the full record.
 """
 
 from __future__ import annotations

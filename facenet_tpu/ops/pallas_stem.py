@@ -29,11 +29,19 @@ Layout/geometry (160x160 input, static):
     consumed output — no validity masks are needed (unlike P-Net's
     SAME pool). Zero padding keeps garbage finite.
 
-Status: measurement harness is tools/try_stem_flat.py. The risk (noted
-before measuring): with co_pad <= 64 the MXU dot runs at <= 50%
-M-occupancy, and the stem's XLA padding waste is only 2-4x (32-64
-channels) vs the 42x that made P-Net a 5x win — so the kernel may be
-compute-bound above XLA's bandwidth-bound 1.2 ms.
+Status: MEASURED NEGATIVE (round 3, v5e — don't redo without a new
+idea). Kernel level (tools/try_stem_flat.py, chunk 128, exact to 0.0 vs
+the XLA stem): XLA pre+stem 1.456 ms/chunk; s2d relayout alone 1.306
+ms; relayout + this kernel 3.425 ms -> 0.43x. Serving level
+(tools/time_stem_serving.py, chained): bf16 38.2k img/s XLA stem vs
+25.8k Pallas; int8 49.9k vs 28.7k. The pre-measurement risk note below
+was right: with co_pad <= 64 the MXU dot runs at <= 50% M-occupancy and
+the stem's XLA padding waste is only 2-4x (32-64 channels) vs the 42x
+that made P-Net's kernel a 5x isolated win — XLA's fused low-channel
+conv layouts beat the flat-lane form here. The kernel stays wired
+behind stem='pallas' (equivalence-tested in tests/test_pallas_stem.py)
+as the recorded baseline for any future stem fusion attempt; the
+serving default remains stem='xla'.
 """
 
 from functools import partial
