@@ -297,8 +297,11 @@ class MTCNN:
         overflow['rnet'] = _overflow_count(valid, self.k_rnet)
         boxes, scores, valid = jax.vmap(
             partial(top_k_boxes, k=self.k_rnet))(boxes, scores, valid)
-        crops = crop_and_resize(images_f32, boxes, 24,
-                                compute_dtype=self.dtype)  # [B,K,24,24,3]
+        # f32 interp: the crop stage is gather-bound, and bf16 interp
+        # matmuls measured 0.94x/0.96x (crop24/crop48) in an interleaved
+        # 5-round A/B (tools/time_crop_dtype.py) — the casts cost more
+        # than the halved matmul traffic saves.
+        crops = crop_and_resize(images_f32, boxes, 24)  # [B,K,24,24,3]
         flat = crops.reshape((-1, 24, 24, 3))
         probs, reg = self.rnet.apply({'params': params['rnet']},
                                      normalize_crops(flat))
@@ -316,8 +319,7 @@ class MTCNN:
         overflow['onet'] = _overflow_count(valid, self.k_onet)
         boxes, scores, valid = jax.vmap(
             partial(top_k_boxes, k=self.k_onet))(boxes, scores, valid)
-        crops = crop_and_resize(images_f32, boxes, 48,
-                                compute_dtype=self.dtype)
+        crops = crop_and_resize(images_f32, boxes, 48)  # f32: see stage 2
         flat = crops.reshape((-1, 48, 48, 3))
         probs, reg, lmk = self.onet.apply({'params': params['onet']},
                                           normalize_crops(flat))
