@@ -91,41 +91,45 @@ def set_seed(seed):
         return None
 
 
+def _yaml_lines(cfg, depth=0):
+    """Render a Config tree as yaml-style ``key: value`` lines (one per leaf,
+    nested sections indented), for `Config.__repr__` and the run-dir
+    arguments dump (`ioutils.write_arguments`)."""
+    pad = '   ' * depth
+    for key, item in cfg.items():
+        if isinstance(item, Config):
+            yield f'{pad}{key}:'
+            yield from _yaml_lines(item, depth + 1)
+        else:
+            yield f'{pad}{key}: {item}'
+
+
 class Config:
     """YAML settings as a dict-like object with values as attributes.
 
     Missing attributes return an *empty, falsy* Config so application code can
-    write ``if cfg.optional.nested.value:`` without existence checks
-    (reference config.py:85-89).
+    write ``if cfg.optional.nested.value:`` without existence checks — the
+    same load-bearing semantics as the reference's attr-dict
+    (reference config.py:85-89), implemented independently: construction
+    delegates to the deep `update`, missing-key lookup special-cases dunder
+    names so copy/pickle protocols keep working, and rendering lives in the
+    module-level `_yaml_lines`.
     """
 
     def __init__(self, dct=None):
-        if dct is None:
-            dct = dict()
-
-        for key, item in dct.items():
-            if isinstance(item, Mapping):
-                setattr(self, key, Config(item))
-            else:
-                setattr(self, key, item)
-
-    def __repr__(self):
-        shift = 3 * ' '
-
-        def get_str(obj, ident=''):
-            s = ''
-            for key, item in obj.items():
-                if isinstance(item, Config):
-                    s += f'{ident}{key}: \n{get_str(item, ident=ident + shift)}'
-                else:
-                    s += f'{ident}{key}: {str(item)}\n'
-            return s
-
-        return get_str(self)
+        if dct:
+            self.update(dct)
 
     def __getattr__(self, name):
-        # only called when normal attribute lookup fails
-        return self.__dict__.get(name, Config())
+        # Normal attribute lookup failed. Dunder probes (copy, pickle,
+        # inspect) must see a genuine AttributeError, not a falsy Config.
+        if name.startswith('__') and name.endswith('__'):
+            raise AttributeError(name)
+        return Config()
+
+    def __repr__(self):
+        body = '\n'.join(_yaml_lines(self))
+        return body + '\n' if body else ''
 
     def __bool__(self):
         return bool(self.__dict__)
@@ -140,15 +144,8 @@ class Config:
 
     @property
     def as_dict(self):
-        def to_dict(obj):
-            out = {}
-            for key, item in obj.items():
-                if isinstance(item, Config):
-                    item = to_dict(item)
-                out[key] = item
-            return out
-
-        return to_dict(self)
+        return {key: item.as_dict if isinstance(item, Config) else item
+                for key, item in self.__dict__.items()}
 
     def items(self):
         return self.__dict__.items()

@@ -1,10 +1,15 @@
 """Fused Pallas P-Net: conv1+PReLU+pool+conv2+conv3+heads in VMEM.
 
-STATUS (round 3): the v3 flat-lane kernel at the bottom of this file
-BEATS the XLA path (~5x at level-0 kernel time, tools/try_pnet_v3.py)
-and is the cascade's production P-Net on TPU (cascade.py pnet_impl).
+STATUS (round 3, final): the v3 flat-lane kernel at the bottom of this
+file BEATS the XLA path at the kernel level (~5x at level-0,
+tools/try_pnet_v3.py) but LOSES end-to-end — the full cascade runs
+10.63 ms/batch16 with flax vs 11.07 ms with flat
+(tools/time_cascade_ab.py), because per-level dispatch overhead and the
+cascade's other stages swallow the kernel win. The production default is
+'flax' everywhere (cascade.py pnet_impl='auto' resolves to flax); the
+flat kernel stays wired for a future whole-pyramid single-kernel fusion.
 The v1/v2 kernels above it are kept as the measured-negative record of
-the campaign; the flax/XLA path remains the CPU/test backend.
+the campaign.
 
 Why attempted (VERDICT r2 next #1): P-Net's channel counts (3 -> 10 ->
 16 -> 32) are tiny, and TPU feature-minor conv layouts pad them to 128

@@ -87,10 +87,11 @@ def crop_and_resize(images, boxes, out_size, compute_dtype=jnp.float32):
     :param boxes: [B, K, 4] pixel-coordinate (x1, y1, x2, y2) boxes
     :param out_size: output side length S
     :param compute_dtype: matmul element type. f32 (default) is exact
-        bilinear; bfloat16 runs the interp matmuls at the MXU's bf16 rate
-        with half the HBM traffic (accumulation stays f32) at ~1 LSB crop
-        error — the right trade when the crops feed bf16 conv nets
-        (detector R/O stages).
+        bilinear AND measured faster at the cascade's crop geometries
+        (bf16 was 0.94-0.96x — the interp matmuls are too small for the
+        bf16 rate to matter; see tools/time_crop_dtype.py). bfloat16
+        stays available for large-crop callers where HBM traffic
+        dominates, at ~1 LSB crop error.
     :return: [B, K, S, S, C] float32 crops
     """
     s = int(out_size)

@@ -32,7 +32,8 @@ images = jax.device_put(rng.randint(0, 256, (16, 480, 640, 3), np.uint8))
 
 def make(size, k, dtype):
     boxes = rng.uniform(0, 1, (16, k, 4)).astype(np.float32)
-    boxes = boxes * np.array([480, 640, 60, 60], np.float32)
+    # (x1, y1, w, h) scales for a 480(H) x 640(W) image: x by W, y by H.
+    boxes = boxes * np.array([640, 480, 60, 60], np.float32)
     boxes[..., 2:] += boxes[..., :2]
     boxes = jnp.asarray(boxes)
 
