@@ -93,7 +93,18 @@ class FaceDetector:
     """
 
     def __init__(self, detector='mtcnn', image_shape=(480, 640),
-                 params=None, weights=None, **kwargs):
+                 image_shapes=None, params=None, weights=None, **kwargs):
+        """:param image_shape: the (single) letterbox geometry, as before.
+        :param image_shapes: optional list of (H, W) letterbox buckets
+            sharing one weight set. The reference detects on a
+            native-resolution pyramid (ref face_detector.py:63-78); a
+            single fixed letterbox shape instead shrinks a small face in
+            a large photo below `min_face_size` (undetectable). With
+            buckets, each input routes to the bucket that avoids
+            downscaling where possible (`route_shape`); each bucket's
+            cascade is built lazily on first use (one XLA compile per
+            bucket actually exercised, not per configured bucket).
+        """
         self.detector = detector
 
         if params is None and not weights:
@@ -113,7 +124,6 @@ class FaceDetector:
                     '(apps/train_detector.py)')
 
         if detector in ('mtcnn', 'pypimtcnn'):
-            from facenet_tpu.detectors.mtcnn.cascade import MTCNN
             self.mode = 'RGB'
             if params is None and weights:
                 # pretrained det1/det2/det3.npy directory (the standard
@@ -125,13 +135,16 @@ class FaceDetector:
                     load_davidsandberg_weights)
                 params = load_davidsandberg_weights(weights)
                 kwargs.setdefault('pnet_box_convention', 'caffe')
-            self._backend = MTCNN(image_shape=image_shape, params=params,
-                                  **kwargs)
-            if params is not None:
-                from facenet_tpu.detectors.mtcnn.weights import validate_params
-                validate_params(params, self._backend)
+
+            def build(shape):
+                from facenet_tpu.detectors.mtcnn.cascade import MTCNN
+                backend = MTCNN(image_shape=shape, params=params, **kwargs)
+                if params is not None:
+                    from facenet_tpu.detectors.mtcnn.weights import (
+                        validate_params)
+                    validate_params(params, backend)
+                return backend
         elif detector == 'frcnnv3':
-            from facenet_tpu.detectors.frcnn import FasterRCNN
             self.mode = 'RGB'
             if params is None and weights:
                 if str(weights).endswith('.npz'):
@@ -141,16 +154,53 @@ class FaceDetector:
                 else:
                     import numpy as _np
                     params = _np.load(weights, allow_pickle=True).item()
-            self._backend = FasterRCNN(image_shape=image_shape,
-                                       params=params, **kwargs)
+
+            def build(shape):
+                from facenet_tpu.detectors.frcnn import FasterRCNN
+                return FasterRCNN(image_shape=shape, params=params, **kwargs)
         else:
             raise ValueError(
                 'Undefined face detector type {}'.format(detector))
+
+        shapes = [tuple(int(v) for v in s)
+                  for s in (image_shapes or [image_shape])]
+        self.image_shapes = sorted(set(shapes), key=lambda s: s[0] * s[1])
+        self._build_backend = build
+        self._backends = {self.image_shapes[0]: build(self.image_shapes[0])}
 
     # kept name for callers that reach for the cascade directly
     @property
     def _mtcnn(self):
         return self._backend
+
+    @property
+    def _backend(self):
+        """The smallest bucket's backend (the only one for single-shape)."""
+        return self._backends[self.image_shapes[0]]
+
+    def backend_for(self, shape):
+        """The backend for one bucket, built (and jit-compiled) lazily."""
+        shape = (int(shape[0]), int(shape[1]))
+        if shape not in self._backends:
+            self._backends[shape] = self._build_backend(shape)
+        return self._backends[shape]
+
+    def route_shape(self, h, w):
+        """Pick the letterbox bucket for an (h, w) input.
+
+        Maximizes min(letterbox_scale, 1): prefer any bucket that holds
+        the image at native scale (upscaling costs nothing in recall),
+        otherwise the bucket that downscales least; ties go to the
+        smallest (cheapest) bucket because buckets are scanned
+        smallest-area first.
+        """
+        h, w = max(int(h), 1), max(int(w), 1)
+        best, best_key = None, None
+        for th, tw in self.image_shapes:
+            key = min(th / h, tw / w, 1.0)
+            if best_key is None or key > best_key + 1e-9:
+                best, best_key = (th, tw), key
+        return best
 
     def detect(self, image):
         """Single-image detect -> list of BoundingBox (reference API)."""
@@ -169,10 +219,34 @@ class FaceDetector:
 
         Falls back to serial PIL decode + detect_images when the native
         library is unavailable.
+
+        With multiple `image_shapes` buckets, files are routed by a
+        header-only size probe and each bucket's subset runs through its
+        own pipelined pass; results return in input order.
         """
         from facenet_tpu import native
 
         paths = [str(p) for p in paths]
+        if len(self.image_shapes) > 1 and native.available():
+            by_shape = {}
+            for j, p in enumerate(paths):
+                hw = native.probe_image(p)
+                shape = (self.route_shape(*hw) if hw
+                         else self.image_shapes[0])
+                by_shape.setdefault(shape, []).append(j)
+            results = [None] * len(paths)
+            for shape, idxs in by_shape.items():
+                sub = self._detect_files_single(
+                    [paths[j] for j in idxs], batch_size,
+                    self.backend_for(shape))
+                for j, boxes in zip(idxs, sub):
+                    results[j] = boxes
+            return results
+        return self._detect_files_single(paths, batch_size, self._backend)
+
+    def _detect_files_single(self, paths, batch_size, backend):
+        from facenet_tpu import native
+
         if not native.available():
             from facenet_tpu import ioutils
             results = []
@@ -192,7 +266,7 @@ class FaceDetector:
                                for ok in readable)
             return results
 
-        shape = self._backend.image_shape
+        shape = backend.image_shape
         # letterbox geometry comes from a header-only probe, filled in
         # PER BATCH as batches arrive (not as an O(N) serial prologue —
         # over a large corpus the upfront probe loop would idle the
@@ -214,8 +288,8 @@ class FaceDetector:
         # max(decode, transfer, cascade) rather than their sum. On a real
         # TPU host the PCIe transfer vanishes under the cascade; through
         # the axon dev tunnel the transfer dominates but still overlaps.
-        dispatch = getattr(self._backend, 'detect_batch_async', None)
-        finalize = getattr(self._backend, 'finalize_batch', None)
+        dispatch = getattr(backend, 'detect_batch_async', None)
+        finalize = getattr(backend, 'finalize_batch', None)
         try:
             batches = [list(range(s, min(s + batch_size, len(paths))))
                        for s in range(0, len(paths), batch_size)]
@@ -232,7 +306,7 @@ class FaceDetector:
                 for bi, (images, ok) in enumerate(loader.iterate(batches)):
                     oks.extend(bool(v) for v in ok)
                     probe_batch(batches[bi])
-                    collect(self._backend.detect_batch(images),
+                    collect(backend.detect_batch(images),
                             len(images), len(results))
                 return results
 
@@ -281,18 +355,29 @@ class FaceDetector:
     def detect_images(self, images):
         """Batched detect over arbitrary-size uint8 images.
 
-        Letterboxes to the fixed cascade geometry, runs the jitted cascade
-        once for the whole batch, and maps boxes back to original pixels.
+        Letterboxes to the cascade geometry (per-image bucket routing when
+        multiple `image_shapes` are configured), runs the jitted cascade
+        per bucket batch, and maps boxes back to original pixels.
         """
         from facenet_tpu.detectors.mtcnn.cascade import letterbox_batch
 
-        batch, scales, pads = letterbox_batch(
-            [np.asarray(img) for img in images], self._backend.image_shape)
-        out = self._backend.detect_batch(batch)
+        images = [np.asarray(img) for img in images]
+        by_shape = {}
+        for j, img in enumerate(images):
+            shape = (self.route_shape(img.shape[0], img.shape[1])
+                     if len(self.image_shapes) > 1 else self.image_shapes[0])
+            by_shape.setdefault(shape, []).append(j)
 
-        return [self._boxes_from_output(out, i, scales[i],
-                                        pads[i, 0], pads[i, 1])
-                for i in range(len(images))]
+        results = [None] * len(images)
+        for shape, idxs in by_shape.items():
+            backend = self.backend_for(shape)
+            batch, scales, pads = letterbox_batch(
+                [images[j] for j in idxs], backend.image_shape)
+            out = backend.detect_batch(batch)
+            for i, j in enumerate(idxs):
+                results[j] = self._boxes_from_output(
+                    out, i, scales[i], pads[i, 0], pads[i, 1])
+        return results
 
     def __repr__(self):
         return (f'class {self.__class__.__name__}\n' +

@@ -128,3 +128,24 @@ def test_extract_faces_crops_real_faces(tmp_path):
     # much higher brightness variance than a random background patch
     arr = np.asarray(Image.open(crops[0]).convert('RGB'), np.float32)
     assert arr.std() > 20, 'crop looks like background noise'
+
+
+# STRESS-FAMILY report (VERDICT r3 weak #3 / next #6): occlusion, motion
+# blur, JPEG artifacts, crowding and extreme lighting — the nuisance
+# factors of real photos that the clean renderer lacks. Measured recall
+# drop of the round-3 bundles (2026-08-19): mtcnn 0.93 -> 0.27,
+# frcnn 0.97 -> 0.68 (precision holds: 1.00 / 0.83). The floors pin the
+# measured level; raising them is the retraining target, not a given.
+
+@pytest.mark.skipif(pretrained.bundled_path('mtcnn') is None,
+                    reason='mtcnn bundle not built')
+def test_bundled_mtcnn_quality_stress():
+    _gate('mtcnn', recall_floor=0.20, iou_floor=0.5, precision_floor=0.90,
+          family='stress', seed=555)
+
+
+@pytest.mark.skipif(pretrained.bundled_path('frcnnv3') is None,
+                    reason='frcnn bundle not built')
+def test_bundled_frcnn_quality_stress():
+    _gate('frcnnv3', recall_floor=0.60, iou_floor=0.5, precision_floor=0.70,
+          family='stress', seed=555)
