@@ -206,7 +206,10 @@ class FaceDetector:
         """Single-image detect -> list of BoundingBox (reference API)."""
         return self.detect_images([np.asarray(image)])[0]
 
-    def detect_files(self, paths, batch_size=32):
+    def detect_files(self, paths, batch_size=64):
+        # default 64: per-image cascade throughput rises with batch
+        # (measured v5e: 1,429 img/s @16, 1,907 @32, 2,368 @64 —
+        # tools/profile_cascade.py round 4)
         """JPEG/PNG files -> per-file [BoundingBox] lists, decode+letterbox
         on the native C++ thread pool (VERDICT r2 next #3: the end-to-end
         detection path with the host off the critical path).

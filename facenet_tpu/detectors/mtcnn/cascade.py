@@ -152,7 +152,8 @@ class MTCNN:
         # mode (tests).
         if pnet_impl == 'auto':
             pnet_impl = 'flax'
-        if pnet_impl not in ('flat', 'flax', 'flat-interpret'):
+        if pnet_impl not in ('flat', 'flax', 'flat-interpret',
+                             'pyramid', 'pyramid-interpret'):
             raise ValueError(f'unknown pnet_impl {pnet_impl!r}')
         self.pnet_impl = pnet_impl
         # per-level 128-padded widths + padded H-resize matrices for the
@@ -227,8 +228,15 @@ class MTCNN:
             t = jnp.einsum('iy,byxc->bixc', v, base_norm)
             scaled = jnp.einsum('bixc,xj->bijc', t, hm)
             probs, reg = self.pnet.apply({'params': params['pnet']}, scaled)
-        # probs: [B, gh, gw]; each cell -> 12x12 window at stride 2 in the
-        # scaled image -> divide by scale for original coordinates
+        return self._pnet_select(probs, reg, level)
+
+    def _pnet_select(self, probs, reg, level):
+        """One level's P-Net heads -> fixed-size pruned candidate set.
+
+        probs: [B, gh, gw]; each cell -> 12x12 window at stride 2 in the
+        scaled image -> divide by scale for original coordinates.
+        """
+        scale = self.scales[level]
         b, gh, gw = probs.shape
 
         base = pnet_base_boxes(gh, gw, scale,
@@ -254,6 +262,37 @@ class MTCNN:
         keep = batched_nms_mask(boxes, scores, valid, 0.5, algorithm='fast')
         return boxes, scores, valid & keep, overflow
 
+    def _pnet_pyramid(self, params, base_norm):
+        """ALL pyramid levels through ONE fused Pallas kernel
+        (pallas_pnet.py v4): per-level resize matmuls emit flat channel
+        planes, the planes concatenate along lanes in the v4 segment
+        layout, and the single pallas_call runs conv1+pool+conv2+conv3+
+        heads for every level with shared VMEM weights. Returns per-level
+        (boxes, scores, valid, overflow) like `_pnet_level`."""
+        from facenet_tpu.detectors.mtcnn.pallas_pnet import (
+            pack_v3, pnet_forward_pyramid, pyramid_plan)
+
+        packed = pack_v3(params['pnet'])
+        plan, total_in, _ = pyramid_plan(self._flat_geom)
+        b = base_norm.shape[0]
+
+        segments = []
+        for level, lv in enumerate(plan):
+            v, _ = self._resize_mats[level]
+            sh, sw_pad, _ = self._flat_geom[level]
+            t = jnp.einsum('iy,byxc->bixc', v, base_norm)
+            planes = jnp.einsum('bixc,xj->bcij', t, self._flat_hm[level])
+            planes = planes.reshape(b, 3, sh * sw_pad)
+            segments.append(jnp.pad(
+                planes, ((0, 0), (0, 0), (0, lv['seg_in'] - sh * sw_pad))))
+        planes_concat = jnp.concatenate(segments, axis=2)
+
+        heads = pnet_forward_pyramid(
+            packed, planes_concat, self._flat_geom,
+            interpret=self.pnet_impl == 'pyramid-interpret')
+        return [self._pnet_select(probs, reg, level)
+                for level, (probs, reg) in enumerate(heads)]
+
     def _detect(self, params, images):
         images_f32 = images.astype(jnp.float32)
         b = images.shape[0]
@@ -267,13 +306,17 @@ class MTCNN:
         # that truncation visible instead of silent).
         overflow = {}
         overflow['pnet_level'] = jnp.zeros((b,), jnp.int32)
-        pnet_packed = None
-        if self.pnet_impl != 'flax':
-            from facenet_tpu.detectors.mtcnn.pallas_pnet import pack_v3
-            pnet_packed = pack_v3(params['pnet'])
-        for level in range(len(self.scales)):
-            bx, sc, va, ov = self._pnet_level(params, base_norm, level,
-                                              pnet_packed)
+        if self.pnet_impl.startswith('pyramid'):
+            per_level = self._pnet_pyramid(params, base_norm)
+        else:
+            pnet_packed = None
+            if self.pnet_impl != 'flax':
+                from facenet_tpu.detectors.mtcnn.pallas_pnet import pack_v3
+                pnet_packed = pack_v3(params['pnet'])
+            per_level = [self._pnet_level(params, base_norm, level,
+                                          pnet_packed)
+                         for level in range(len(self.scales))]
+        for bx, sc, va, ov in per_level:
             all_boxes.append(bx)
             all_scores.append(sc)
             all_valid.append(va)

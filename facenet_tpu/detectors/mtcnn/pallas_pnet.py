@@ -1,15 +1,14 @@
 """Fused Pallas P-Net: conv1+PReLU+pool+conv2+conv3+heads in VMEM.
 
-STATUS (round 3, final): the v3 flat-lane kernel at the bottom of this
-file BEATS the XLA path at the kernel level (~5x at level-0,
-tools/try_pnet_v3.py) but LOSES end-to-end — the full cascade runs
-10.63 ms/batch16 with flax vs 11.07 ms with flat
-(tools/time_cascade_ab.py), because per-level dispatch overhead and the
-cascade's other stages swallow the kernel win. The production default is
-'flax' everywhere (cascade.py pnet_impl='auto' resolves to flax); the
-flat kernel stays wired for a future whole-pyramid single-kernel fusion.
-The v1/v2 kernels above it are kept as the measured-negative record of
-the campaign.
+STATUS (round 4): the v4 WHOLE-PYRAMID kernel at the bottom of this file
+fuses every level into ONE pallas_call (the fix the round-3 record
+called for). Round-3 state it supersedes: the per-level v3 flat-lane
+kernel beats the XLA path ~5x at level-0 kernel time
+(tools/try_pnet_v3.py) but LOSES end-to-end (flax 10.63 vs flat 11.07
+ms/batch16, tools/time_cascade_ab.py) because the win dilutes across 8
+per-level calls. The v1/v2 kernels above are the measured-negative
+record of the campaign; see the v4 section header for its measured
+numbers and the cascade default decision.
 
 Why attempted (VERDICT r2 next #1): P-Net's channel counts (3 -> 10 ->
 16 -> 32) are tiny, and TPU feature-minor conv layouts pad them to 128
@@ -564,3 +563,223 @@ def pnet_forward_flat(packed, planes, sh, sw, true_sw, interpret=False):
     """
     return _v3_run(planes, *[packed[k] for k in V3_KEYS],
                    sh=sh, sw=sw, true_sw=true_sw, interpret=interpret)
+
+
+# ===========================================================================
+# v4: whole-pyramid fusion — ALL levels in ONE pallas_call (round 4)
+# ===========================================================================
+#
+# The round-3 verdict on v3: the flat-lane kernel beats the XLA convs ~5x
+# at level-0 kernel time but LOSES end-to-end because the win is diluted
+# across 8 per-level pallas_calls — each pays its own input pad, mask
+# build, out materialization and pipeline barrier, and the small levels
+# (where XLA is already cheap) contribute nothing. The fix the v3 record
+# itself names: fuse the WHOLE pyramid into one kernel.
+#
+# Design: every level's [3, sh*sw_pad] planes concatenate along the LANE
+# dim into one [8, total] buffer (per-level segments padded to the chunk
+# grid + tap slack). One pallas_call, grid=(batch,); the kernel body is a
+# STATIC Python loop over levels — each iteration is exactly the v3 body
+# with that level's (sw, hw, hwp, chunk) constants and lane bases, and
+# the conv/pool scratch buffers are REUSED across levels (sized for the
+# largest level), so VMEM stays at v3's level-0 footprint no matter how
+# many levels the pyramid has. Chunks are quantized to {16384, 8192,
+# 4096} so Mosaic compiles at most 3 matmul shapes per stage instead of
+# one per level. The weights are shared by all levels — loaded into VMEM
+# once per image instead of once per (image, level).
+#
+# Correctness invariants inherited from v3 (see its comments): stage-1
+# masking folds validity into a NEG fill so pooling never sees garbage;
+# reads past a level's written lanes can only influence head rows >= h3,
+# which the XLA epilogue slices off; all lane offsets stay 128-aligned
+# (sw padded to 128, chunk multiple of 128, bases sums of those).
+
+
+def pyramid_plan(flat_geom):
+    """Static per-level layout for the fused kernel.
+
+    :param flat_geom: [(sh, sw_pad, true_sw)] per level (cascade
+        `_flat_geom` order, largest first)
+    :returns: (plan, total_in, total_out) — plan entries carry the
+        level's geometry, chunking, and lane bases into the concatenated
+        input/output buffers.
+    """
+    plan = []
+    in_base = out_base = 0
+    for sh, sw, true_sw in flat_geom:
+        assert sw % 128 == 0
+        hw = sh * sw
+        chunk = 16384 if hw >= 16384 else (8192 if hw >= 8192 else 4096)
+        h1, hp, h3 = _v3_geometry(sh, sw)
+        hwp = hp * sw
+        nck = -(-hw // chunk)
+        nckp = -(-hwp // chunk)
+        seg_in = nck * chunk + 2 * sw + 256
+        seg_out = nckp * chunk + 2 * sw + 256
+        plan.append({
+            'sh': sh, 'sw': sw, 'true_sw': true_sw, 'chunk': chunk,
+            'h1': h1, 'hp': hp, 'h3': h3, 'hw': hw, 'hwp': hwp,
+            'nck': nck, 'nckp': nckp,
+            'in_base': in_base, 'out_base': out_base,
+            'seg_in': seg_in, 'seg_out': seg_out,
+        })
+        in_base += seg_in
+        out_base += seg_out
+    return plan, in_base, out_base
+
+
+def _make_v4_kernel(plan):
+    max_seg = max(lv['seg_in'] for lv in plan)
+    max_chunk = max(lv['chunk'] for lv in plan)
+
+    def stage_conv(src_ref, src_base, dst_ref, dst_base, patch_ref,
+                   w_ref, b_ref, a_ref, ci_pad, co_pad, drow, dcol,
+                   n_chunks, chunk, mask_ref=None, mask_base=0):
+        k = 9 * ci_pad
+
+        def body(c, _):
+            off = c * chunk
+            for dy in range(3):
+                base = src_ref[0:ci_pad,
+                               pl.ds(src_base + off + dy * drow,
+                                     chunk + 128)]
+                for dx in range(3):
+                    t = dy * 3 + dx
+                    patch_ref[t * ci_pad:(t + 1) * ci_pad, 0:chunk] = \
+                        base[:, dx * dcol:dx * dcol + chunk]
+            z = jax.lax.dot_general(
+                w_ref[...], patch_ref[0:k, 0:chunk],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            z = z + b_ref[...]
+            z = jnp.where(z >= 0, z, a_ref[...] * z)
+            z = z.astype(jnp.bfloat16)
+            if mask_ref is not None:
+                m = mask_ref[0:1, pl.ds(mask_base + off, chunk)]
+                z = z * m + jnp.bfloat16(_NEG) * (jnp.bfloat16(1.0) - m)
+            dst_ref[0:co_pad, pl.ds(dst_base + off, chunk)] = z
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, body, 0, unroll=False)
+
+    def kernel(x_ref, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
+               w3_ref, b3_ref, a3_ref, wh_ref, bh_ref, mask1_ref,
+               out_ref, c1_ref, cp_ref, c2_ref, c3_ref, patch_ref):
+        for lv in plan:
+            sw, chunk = lv['sw'], lv['chunk']
+
+            stage_conv(x_ref.at[0], lv['in_base'], c1_ref, 0, patch_ref,
+                       w1_ref, b1_ref, a1_ref, 8, 16, sw, 1,
+                       lv['nck'], chunk,
+                       mask_ref=mask1_ref, mask_base=lv['in_base'])
+
+            def pool_body(p, _, sw=sw):
+                a = c1_ref[0:16, pl.ds(2 * p * sw, 2 * sw + 128)]
+                v = jnp.maximum(
+                    jnp.maximum(a[:, 0:sw], a[:, 1:sw + 1]),
+                    jnp.maximum(a[:, sw:2 * sw], a[:, sw + 1:2 * sw + 1]))
+                cp_ref[0:16, pl.ds(p * sw, sw)] = v
+                return 0
+
+            jax.lax.fori_loop(0, lv['hp'], pool_body, 0, unroll=False)
+
+            stage_conv(cp_ref, 0, c2_ref, 0, patch_ref,
+                       w2_ref, b2_ref, a2_ref, 16, 16, sw, 2,
+                       lv['nckp'], chunk)
+            stage_conv(c2_ref, 0, c3_ref, 0, patch_ref,
+                       w3_ref, b3_ref, a3_ref, 16, 32, sw, 2,
+                       lv['nckp'], chunk)
+
+            def head_body(c, _, chunk=chunk, out_base=lv['out_base']):
+                off = c * chunk
+                z = jax.lax.dot_general(
+                    wh_ref[...], c3_ref[0:32, pl.ds(off, chunk)],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                out_ref[0, 0:8, pl.ds(out_base + off, chunk)] = \
+                    z + bh_ref[...]
+                return 0
+
+            jax.lax.fori_loop(0, lv['nckp'], head_body, 0, unroll=False)
+
+    return kernel, max_seg, max_chunk
+
+
+@partial(jax.jit, static_argnames=('flat_geom', 'interpret'))
+def _v4_run(planes_concat, w1, b1, a1, w2, b2, a2, w3, b3, a3, wh, bh,
+            flat_geom, interpret=False):
+    """[B, 3, total_in] concatenated level planes -> per-level heads.
+
+    :param flat_geom: static tuple of (sh, sw_pad, true_sw) per level
+    :returns: list of (probs [B, gh, gw], reg [B, gh, gw, 4]) per level
+    """
+    plan, total_in, total_out = pyramid_plan(flat_geom)
+    b = planes_concat.shape[0]
+    assert planes_concat.shape[2] == total_in, \
+        (planes_concat.shape, total_in)
+
+    xf = jnp.pad(planes_concat.astype(jnp.bfloat16), ((0, 0), (0, 5), (0, 0)))
+
+    masks = []
+    for lv in plan:
+        idx = jnp.arange(lv['seg_in'])
+        yy, xx = jnp.divmod(idx, lv['sw'])
+        w1v = lv['true_sw'] - 2
+        masks.append(((yy < lv['h1']) & (xx < w1v)).astype(jnp.bfloat16))
+    m1 = jnp.concatenate(masks).reshape(1, total_in)
+
+    kernel, max_seg, max_chunk = _make_v4_kernel(plan)
+    weights = (w1, b1, a1, w2, b2, a2, w3, b3, a3, wh, bh)
+    vspec = [pl.BlockSpec(w.shape, lambda bb, n=w.ndim: (0,) * n,
+                          memory_space=pltpu.VMEM) for w in weights]
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, 8, total_in), lambda bb: (bb, 0, 0),
+                               memory_space=pltpu.VMEM)] + vspec +
+                 [pl.BlockSpec((1, total_in), lambda bb: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 8, total_out), lambda bb: (bb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 8, total_out), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((16, max_seg), jnp.bfloat16),   # c1
+            pltpu.VMEM((16, max_seg), jnp.bfloat16),   # pooled (compact H)
+            pltpu.VMEM((16, max_seg), jnp.bfloat16),   # c2
+            pltpu.VMEM((32, max_seg), jnp.bfloat16),   # c3
+            pltpu.VMEM((144, max_chunk), jnp.bfloat16),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(xf, *weights, m1)
+
+    results = []
+    for lv in plan:
+        sw = lv['sw']
+        w1v = lv['true_sw'] - 2
+        wpv = -(-w1v // 2)
+        w3v = wpv - 4
+        heads = out[:, :6, lv['out_base']:lv['out_base'] + lv['hwp']]
+        heads = heads.reshape(b, 6, lv['hp'], sw)
+        heads = heads[:, :, 0:lv['h3'], 0:2 * w3v:2]
+        z0, z1 = heads[:, 0], heads[:, 1]
+        m = jnp.maximum(z0, z1)
+        e0, e1 = jnp.exp(z0 - m), jnp.exp(z1 - m)
+        probs = e1 / (e0 + e1)
+        reg = jnp.transpose(heads[:, 2:6], (0, 2, 3, 1))
+        results.append((probs, reg))
+    return results
+
+
+def pnet_forward_pyramid(packed, planes_concat, flat_geom, interpret=False):
+    """Cascade-facing wrapper: ALL levels' planes, one kernel dispatch.
+
+    :param packed: pack_v3(params['pnet']) output (same packing as v3)
+    :param planes_concat: [B, 3, total_in] per `pyramid_plan(flat_geom)`
+        segment layout (zero-padded between levels)
+    :returns: per-level [(probs, reg)] matching the flax path's contract
+    """
+    return _v4_run(planes_concat, *[packed[k] for k in V3_KEYS],
+                   flat_geom=tuple(tuple(g) for g in flat_geom),
+                   interpret=interpret)

@@ -128,3 +128,71 @@ def test_cascade_flat_matches_flax_on_scene():
     s_a = np.asarray(out_a['scores'], np.float32)[va]
     s_b = np.asarray(out_b['scores'], np.float32)[vb]
     assert np.abs(s_a - s_b).max() < 0.02
+
+
+# ---------------------------------------------------------------------------
+# v4 whole-pyramid fusion (round 4)
+# ---------------------------------------------------------------------------
+
+def test_v4_pyramid_matches_flax(pnet_params):
+    """The fused all-levels kernel must agree with the flax P-Net on every
+    level of a small pyramid, with garbage between segments."""
+    net, params = pnet_params
+    flat_geom = []
+    levels = []
+    rng = np.random.RandomState(2)
+    for sh, true_sw in [(40, 129), (29, 92), (21, 66)]:
+        sw = -(-true_sw // 128) * 128
+        x = rng.randint(0, 256, (2, sh, true_sw, 3)).astype(np.float32)
+        xn = np.asarray(normalize_crops(jnp.asarray(x)))
+        pad = rng.normal(0, 3, (2, sh, sw, 3)).astype(np.float32)
+        pad[:, :, :true_sw, :] = xn
+        levels.append((xn, np.transpose(pad, (0, 3, 1, 2))
+                       .reshape(2, 3, sh * sw)))
+        flat_geom.append((sh, sw, true_sw))
+
+    plan, total_in, _ = pallas_pnet.pyramid_plan(flat_geom)
+    segs = []
+    for (xn, planes), lv in zip(levels, plan):
+        seg = rng.normal(0, 3, (2, 3, lv['seg_in'])).astype(np.float32)
+        seg[:, :, :planes.shape[2]] = planes   # garbage padding after data
+        segs.append(seg)
+    concat = jnp.asarray(np.concatenate(segs, axis=2))
+    assert concat.shape[2] == total_in
+
+    packed = pallas_pnet.pack_v3(params)
+    heads = pallas_pnet.pnet_forward_pyramid(packed, concat, flat_geom,
+                                             interpret=True)
+    assert len(heads) == len(levels)
+    for (xn, _), (p_new, r_new) in zip(levels, heads):
+        p_ref, r_ref = net.apply({'params': params}, xn)
+        assert p_new.shape == p_ref.shape and r_new.shape == r_ref.shape
+        assert float(jnp.max(jnp.abs(p_ref - p_new))) < 0.02
+        assert float(jnp.max(jnp.abs(r_ref - r_new))) < 0.05
+
+
+def test_cascade_pyramid_matches_flax_on_scene():
+    """End-to-end cascade equivalence of the fused pyramid backend."""
+    from facenet_tpu.detectors.mtcnn.cascade import MTCNN
+    from facenet_tpu.detectors.pretrained import load_bundled
+    from facenet_tpu.utils.synthetic import render_scene
+
+    params = load_bundled('mtcnn')
+    rng = np.random.RandomState(5)
+    img, _, _ = render_scene(rng, shape=(192, 192), n_faces=4,
+                             min_face=30, max_face=80)
+    imgs = img[None]
+
+    kw = dict(image_shape=(192, 192), params=params)
+    out_a = MTCNN(pnet_impl='flax', **kw).detect_batch(imgs)
+    out_b = MTCNN(pnet_impl='pyramid-interpret', **kw).detect_batch(imgs)
+
+    va, vb = np.asarray(out_a['valid']), np.asarray(out_b['valid'])
+    np.testing.assert_array_equal(va, vb)
+    assert va.sum() >= 2
+    b_a = np.asarray(out_a['boxes'], np.float32)[va]
+    b_b = np.asarray(out_b['boxes'], np.float32)[vb]
+    assert np.abs(b_a - b_b).max() < 1.5
+    s_a = np.asarray(out_a['scores'], np.float32)[va]
+    s_b = np.asarray(out_b['scores'], np.float32)[vb]
+    assert np.abs(s_a - s_b).max() < 0.02

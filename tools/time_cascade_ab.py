@@ -27,11 +27,14 @@ params = load_bundled('mtcnn')
 rng = np.random.RandomState(0)
 images = jax.device_put(rng.randint(0, 256, (16, 480, 640, 3), np.uint8))
 
-for impl in ('flax', 'flat'):
+import sys
+batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+images = jax.device_put(rng.randint(0, 256, (batch, 480, 640, 3), np.uint8))
+for impl in ('flax', 'pyramid'):
     det = MTCNN(image_shape=(480, 640), params=params, pnet_impl=impl)
     def full(x, det=det):
         out = det._detect(det.params, x)
         probe = out['scores'].sum()
         return probe, x + (probe * 0).astype(jnp.uint8)
     t = chain_time(full, images)
-    print(f'{impl}: {t*1e3:8.2f} ms/batch16 ({16/t:,.0f} img/s)', flush=True)
+    print(f'{impl}: {t*1e3:8.2f} ms/batch{batch} ({batch/t:,.0f} img/s)', flush=True)

@@ -40,13 +40,18 @@ GATE_RECALL = 0.90
 GATE_IOU = 0.5
 
 
-def scene_pool(n, seed, empty_frac=0.1):
+def scene_pool(n, seed, empty_frac=0.1, families=('base',)):
+    """Scenes cycled over `families` — e.g. ('base', 'base', 'stress')
+    trains with 1/3 stress scenes (occlusion/blur/JPEG/crowding/extreme
+    lighting, utils/synthetic.py round 4) so the bundles hold up under
+    photo-like nuisance instead of only the clean renderer."""
     rng = np.random.RandomState(seed)
     scenes = []
-    for _ in range(n):
+    for i in range(n):
         n_faces = 0 if rng.rand() < empty_frac else rng.randint(1, 4)
         scenes.append(render_scene(rng, shape=SCENE_SHAPE, n_faces=n_faces,
-                                   min_face=MIN_FACE, max_face=MAX_FACE))
+                                   min_face=MIN_FACE, max_face=MAX_FACE,
+                                   family=families[i % len(families)]))
     return scenes
 
 
@@ -154,6 +159,8 @@ def main():
     ap.add_argument('--batch-size', type=int, default=256)
     ap.add_argument('--lr', type=float, default=1e-3)
     ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--families', default='base,base,stress',
+                    help='comma list cycled over the training pool')
     ap.add_argument('--out', type=Path, default=pretrained.PRETRAINED_DIR)
     ap.add_argument('--force', action='store_true',
                     help='save the bundle even if the quality gate fails')
@@ -161,8 +168,12 @@ def main():
 
     print(f'rendering {args.scenes} train + 64 held-out scenes...', flush=True)
     t0 = time.time()
-    train_scenes = scene_pool(args.scenes, seed=args.seed)
+    families = tuple(args.families.split(','))
+    train_scenes = scene_pool(args.scenes, seed=args.seed,
+                              families=families)
     held_out = scene_pool(64, seed=990 + args.seed)
+    held_out_stress = scene_pool(64, seed=880 + args.seed,
+                                 families=('stress',))
     print(f'rendered in {time.time() - t0:.1f}s')
 
     jobs = (['mtcnn', 'frcnnv3'] if args.detector == 'both'
@@ -177,9 +188,13 @@ def main():
                                  seed=args.seed)
 
         metrics = evaluate(name, params, held_out)
-        print(f'{name} held-out: ' +
+        print(f'{name} held-out (base): ' +
               ' '.join(f'{k}={v:.4f}' if isinstance(v, float) else f'{k}={v}'
                        for k, v in metrics.items()))
+        stress = evaluate(name, params, held_out_stress)
+        print(f'{name} held-out (stress): ' +
+              ' '.join(f'{k}={v:.4f}' if isinstance(v, float) else f'{k}={v}'
+                       for k, v in stress.items()))
 
         passed = (metrics['recall'] >= GATE_RECALL)
         if not passed and not args.force:
