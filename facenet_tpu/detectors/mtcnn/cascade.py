@@ -141,15 +141,21 @@ class MTCNN:
         self._resize_mats = [
             self._level_resize_matrices(scale) for scale in self.scales]
 
-        # P-Net backend: 'flat' = the Pallas flat-lane MXU kernel
-        # (pallas_pnet.py v3 — ~5x the XLA convs at level-0 kernel time,
-        # but END-TO-END the cascade measures flax 10.63 vs flat 11.07
-        # ms/batch16 on v5e (tools/time_cascade_ab.py, chained timing) —
-        # the per-level dispatch + head-extraction overhead eats the
-        # kernel win, and Mosaic compiles cost minutes per geometry.
-        # 'flax' = the XLA conv path; 'auto' therefore picks flax
-        # everywhere. 'flat-interpret' runs the kernel in interpret
-        # mode (tests).
+        # P-Net backend (measured on v5e, tools/time_cascade_ab.py):
+        #   'flax'    = XLA convs. Best THROUGHPUT config: batch 64 runs
+        #               2,574 img/s (24.86 ms/batch), above the 2,500
+        #               north star. 'auto' picks this.
+        #   'pyramid' = whole-pyramid fused Pallas kernel (pallas_pnet.py
+        #               v4, ONE dispatch for all levels): wins at small
+        #               batch (9.91 vs 10.58 ms/batch16, 1,614 img/s)
+        #               but its per-image time is patch-assembly-bound
+        #               and constant, so XLA overtakes it by batch 64
+        #               (32.0 vs 24.9 ms). The latency-serving choice.
+        #   'flat'    = per-level v3 kernel; superseded by 'pyramid'
+        #               (flax 10.63 vs flat 11.07 ms/batch16), kept as
+        #               the measured record + building block.
+        # '-interpret' suffixes run the kernels in interpret mode (CPU
+        # tests). Mosaic compiles cost minutes per (geometry, batch).
         if pnet_impl == 'auto':
             pnet_impl = 'flax'
         if pnet_impl not in ('flat', 'flax', 'flat-interpret',

@@ -588,6 +588,19 @@ def pnet_forward_flat(packed, planes, sh, sw, true_sw, interpret=False):
 # one per level. The weights are shared by all levels — loaded into VMEM
 # once per image instead of once per (image, level).
 #
+# MEASURED (v5e, 480x640, tools/time_cascade_ab.py, 2026-08-19):
+#   batch 16: flax 10.58 ms -> pyramid 9.91 ms (+6.8%, 1,614 img/s) —
+#     the fusion recovers what the per-level v3 calls lost.
+#   batch 64: flax 24.86 ms -> pyramid 32.03 ms (0.78x) — the kernel is
+#     PATCH-ASSEMBLY-BOUND (9 VPU tile copies per chunk per stage), so
+#     its per-image time is constant, while XLA's conv path amortizes
+#     with batch and overtakes it.
+# Production decision: 'auto' stays 'flax' — the throughput config is
+# batch 64 where flax wins (2,574 img/s, above the 2,500 north star);
+# 'pyramid' is the measured choice for small-batch/latency serving on
+# TPU. A future rev could stack G images' patches into one [K, G*chunk]
+# dot to amortize the assembly, at G x the scratch VMEM.
+#
 # Correctness invariants inherited from v3 (see its comments): stage-1
 # masking folds validity into a NEG fill so pooling never sees garbage;
 # reads past a level's written lanes can only influence head rows >= h3,

@@ -86,6 +86,69 @@ def main():
           f'({1000 * t_e2e / n_images:.2f} ms/img; {n_faces} faces in '
           f'{n_images} images)', flush=True)
 
+    aligned_embeddings_rate(batch=max(batch, 64))
+
 
 if __name__ == '__main__':
     main()
+
+
+def aligned_embeddings_rate(batch=64, iters=8):
+    """Device chain: detect -> landmark-align -> embed, aligned
+    embeddings/s on one chip (the BASELINE.json north-star unit — 20k/s
+    on a v5e-8 implies >=2,500 aligned crops/s/chip).
+
+    One face per image (the extract_faces default); the three jitted
+    stages (cascade, align, fused embed) chain through device arrays, and
+    the timing loop chains iterations through the output so the wall
+    clock measures true serialized throughput.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from facenet_tpu.detectors.face_detector import FaceDetector
+    from facenet_tpu.models.inception_resnet_v1 import create_model
+    from facenet_tpu.models.irv1_fast import build_fast_params, fast_forward
+    from facenet_tpu.ops.image_ops import align_by_landmarks
+    from facenet_tpu.utils.synthetic import render_scene
+
+    rng = np.random.RandomState(0)
+    imgs = np.stack([render_scene(rng, shape=(480, 640), n_faces=1,
+                                  min_face=120, max_face=320)[0]
+                     for _ in range(batch)])
+    imgs_d = jax.device_put(imgs)
+
+    det = FaceDetector(detector='mtcnn', image_shape=(480, 640))
+    backend = det._backend
+
+    model = create_model()
+    variables = model.init(jax.random.PRNGKey(0), imgs[:1, :160, :160],
+                           train=False)
+    fparams, fcfg = build_fast_params(variables)
+    embed = jax.jit(lambda p, x: fast_forward(p, fcfg, x))
+
+    align = jax.jit(lambda im, lm: align_by_landmarks(
+        im.astype(jnp.float32), lm, 160))
+
+    def step(x):
+        out = backend._detect_jit(backend.params, x)
+        aligned = align(x, out['landmarks'][:, 0])
+        emb = embed(fparams, aligned.astype(jnp.uint8))
+        probe = emb[0, 0] + out['scores'].sum()
+        return probe, x + (probe * 0).astype(jnp.uint8)
+
+    probe = None
+    cur = imgs_d
+    for _ in range(2):
+        probe, cur = step(cur)
+    float(np.asarray(probe))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        probe, cur = step(cur)
+    float(np.asarray(probe))
+    dt = (time.perf_counter() - t0) / iters
+    print(f'detect->align->embed:  {batch / dt:8.1f} aligned emb/s '
+          f'({1000 * dt:.2f} ms/batch{batch})', flush=True)
+
+
+

@@ -13,6 +13,13 @@ that lost in round 2), blend the row pairs on the VPU, then apply the
 small dense x-interp matmul [S, W] @ [W, S].
 
 Run: python tools/try_crop_gather.py [batch] [K] [S]
+
+RESULT (v5e, 2026-08-19): MEASURED NEGATIVE at scale. B=16: 1.08x
+(noise); B=64 K=64 S=24: 0.49x; B=64 K=32 S=48: 0.55x. The row gather's
+HBM traffic (B*K*2S full [W, C] rows) swamps the FLOPs the banded
+structure saves — XLA tiles the dense einsum well enough that the crop
+stage is traffic-bound either way, and gathers amplify traffic. The
+dense interp-matmul form in ops/image_ops.py stays.
 """
 
 import sys
