@@ -106,10 +106,17 @@ def crop_and_resize(images, boxes, out_size, compute_dtype=jnp.float32):
     ry = ry.astype(compute_dtype)
     rx = rx.astype(compute_dtype)
 
+    k = boxes.shape[1]
     f = images.astype(compute_dtype).reshape(b, h, w * c)
-    rows = jnp.einsum('bksh,bhd->bksd', ry, f,
+    # Stack the K boxes' interp rows into ONE tall [K*S, H] operand per
+    # image: XLA does NOT merge the (k, s) dims of 'bksh,bhd->bksd' into
+    # the matmul M dim, leaving M = S = 24-48 rows on a 128-row MXU. The
+    # explicit reshape makes M = K*S and is bit-exact; measured 2.23x
+    # (K=64 S=24) / 3.65x (K=32 S=48) at batch 64 on v5e
+    # (tools/try_crop_stacked.py).
+    rows = jnp.einsum('bmh,bhd->bmd', ry.reshape(b, k * s, h), f,
                       preferred_element_type=jnp.float32)
-    rows = rows.reshape(b, boxes.shape[1], s, w, c).astype(compute_dtype)
+    rows = rows.reshape(b, k, s, w, c).astype(compute_dtype)
     return jnp.einsum('bkswc,bktw->bkstc', rows, rx,
                       preferred_element_type=jnp.float32)
 

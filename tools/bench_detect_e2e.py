@@ -89,10 +89,6 @@ def main():
     aligned_embeddings_rate(batch=max(batch, 64))
 
 
-if __name__ == '__main__':
-    main()
-
-
 def aligned_embeddings_rate(batch=64, iters=8):
     """Device chain: detect -> landmark-align -> embed, aligned
     embeddings/s on one chip (the BASELINE.json north-star unit — 20k/s
@@ -151,4 +147,5 @@ def aligned_embeddings_rate(batch=64, iters=8):
           f'({1000 * dt:.2f} ms/batch{batch})', flush=True)
 
 
-
+if __name__ == '__main__':
+    main()
