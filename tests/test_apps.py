@@ -244,6 +244,7 @@ def test_train_softmax_app(face_tree, tmp_path):
     assert 'FaceToFaceValidation' in report
 
 
+@pytest.mark.slow
 def test_train_softmax_distributed_app(face_tree, tmp_path):
     """Distributed app: 2-device data-parallel mesh on CPU virtual devices."""
     from facenet_tpu.apps.train_softmax_distributed import main
@@ -263,6 +264,7 @@ def test_train_softmax_distributed_app(face_tree, tmp_path):
     assert (runs[0] / 'logs' / 'report.txt').exists()
 
 
+@pytest.mark.slow
 def test_train_softmax_app_pk_sampler_with_triplet(face_tree, tmp_path):
     """triplet_factor > 0 routes training through P x K equal batches."""
     from facenet_tpu.apps.train_softmax import main
@@ -282,6 +284,7 @@ def test_train_softmax_app_pk_sampler_with_triplet(face_tree, tmp_path):
     assert 'triplet_loss' in report
 
 
+@pytest.mark.slow
 def test_train_softmax_resume_from_checkpoint(face_tree, tmp_path):
     """Reference resume workflow: point model.checkpoint at a previous run's
     checkpoints dir; the new run continues from the saved step."""

@@ -60,6 +60,7 @@ def test_two_process_psum():
     assert r0 == r1 == float(expected)
 
 
+@pytest.mark.slow
 def test_two_process_train_step():
     """Full SoftmaxTrainer step over a (data=4, model=2) mesh whose data
     axis spans two processes: params placed globally (place_global),
@@ -71,6 +72,7 @@ def test_two_process_train_step():
     assert np.isfinite(r0) and r0 > 0
 
 
+@pytest.mark.slow
 def test_two_process_train_epoch():
     """The app-level epoch loop under 2 processes: every process draws
     the identical global batch and train_epoch slices its local rows."""
@@ -89,6 +91,7 @@ def test_two_process_eval():
     assert np.isfinite(r0) and r0 > 0
 
 
+@pytest.mark.slow
 def test_distributed_initialize_single_process(tmp_path):
     # tiny 4-class dataset
     root = tmp_path / 'faces'

@@ -28,6 +28,7 @@ def tiny_model_and_vars():
     return model, variables
 
 
+@pytest.mark.slow
 def test_compiled_artifact_matches_eager_and_any_batch(tmp_path,
                                                        tiny_model_and_vars):
     model, variables = tiny_model_and_vars

@@ -27,6 +27,7 @@ def _clustered_forward(dim=16):
     return forward
 
 
+@pytest.mark.slow
 def test_validate_callback_cadence_and_reports(tmp_path):
     """Fires every N epochs and on the final epoch; writes text + h5."""
     rng = np.random.RandomState(0)

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 TINY = {'repeat': [1, 1, 1], 'embedding_size': 64}
 
@@ -22,6 +23,7 @@ def _model_and_vars(dtype, seed=0):
     return model, {'params': variables['params'], 'batch_stats': stats}, images
 
 
+@pytest.mark.slow
 def test_irv2_fast_matches_model_f32():
     from facenet_tpu.models.irv2_fast import FastEmbedderV2
 

@@ -61,6 +61,7 @@ def test_route_shape_prefers_native_scale():
 
 @pytest.mark.skipif(pretrained.bundled_path('mtcnn') is None,
                     reason='mtcnn bundle not built')
+@pytest.mark.slow
 def test_small_faces_need_the_large_bucket():
     scenes = _scenes()
 
@@ -85,6 +86,7 @@ def test_small_faces_need_the_large_bucket():
 
 @pytest.mark.skipif(pretrained.bundled_path('mtcnn') is None,
                     reason='mtcnn bundle not built')
+@pytest.mark.slow
 def test_detect_files_routes_by_probe(tmp_path):
     from PIL import Image
 

@@ -22,6 +22,7 @@ def pnet_params():
 
 
 @pytest.mark.parametrize('shape', [(24, 24), (61, 83), (40, 129)])
+@pytest.mark.slow
 def test_pallas_pnet_matches_flax(pnet_params, shape):
     net, params = pnet_params
     rng = np.random.RandomState(0)
@@ -39,6 +40,7 @@ def test_pallas_pnet_matches_flax(pnet_params, shape):
     assert float(jnp.max(jnp.abs(r_ref - r_new))) < 0.05
 
 
+@pytest.mark.slow
 def test_out_geometry_matches_flax(pnet_params):
     net, params = pnet_params
     for sh, sw in [(12, 12), (13, 17), (30, 30), (47, 61)]:
@@ -101,6 +103,7 @@ def test_pack_v3_shapes(pnet_params):
         assert k in w
 
 
+@pytest.mark.slow
 def test_cascade_flat_matches_flax_on_scene():
     """End-to-end cascade equivalence: the flat P-Net backend must find
     the same faces as the flax backend with the bundled trained weights
@@ -134,6 +137,7 @@ def test_cascade_flat_matches_flax_on_scene():
 # v4 whole-pyramid fusion (round 4)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_v4_pyramid_matches_flax(pnet_params):
     """The fused all-levels kernel must agree with the flax P-Net on every
     level of a small pyramid, with garbage between segments."""
@@ -171,6 +175,7 @@ def test_v4_pyramid_matches_flax(pnet_params):
         assert float(jnp.max(jnp.abs(r_ref - r_new))) < 0.05
 
 
+@pytest.mark.slow
 def test_cascade_pyramid_matches_flax_on_scene():
     """End-to-end cascade equivalence of the fused pyramid backend."""
     from facenet_tpu.detectors.mtcnn.cascade import MTCNN

@@ -89,6 +89,7 @@ def test_fast_forward_pallas_stem_matches_xla():
     assert cos.min() > 0.999, f'pallas-stem forward drifted: {cos.min():.5f}'
 
 
+@pytest.mark.slow
 def test_fast_forward_pallas_stem_rejects_quantized_stem():
     model = create_model(TINY)
     rng = np.random.RandomState(6)

@@ -45,6 +45,7 @@ def test_annotate_context():
         jnp.ones(4).block_until_ready()
 
 
+@pytest.mark.slow
 def test_trainer_reports_throughput():
     from facenet_tpu.train.softmax import SoftmaxTrainer
 

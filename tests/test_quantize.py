@@ -75,6 +75,7 @@ def test_quantized_tree_structure(fast_setup):
     assert 'kq' not in params['Repeat.block35_1']['heads']
 
 
+@pytest.mark.slow
 def test_irv2_quantize_flag():
     import jax
     from facenet_tpu.models.inception_resnet_v2 import InceptionResnetV2

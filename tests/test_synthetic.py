@@ -78,3 +78,25 @@ def test_write_identity_dataset_database_compatible(tmp_path):
     from PIL import Image
     arr = np.asarray(Image.open(dbase.files[0]))
     assert arr.shape == (48, 48, 3)
+
+
+def test_stress_family_renders_and_perturbs():
+    """The 'stress' family (round 4): valid ground truth, and the frame is
+    actually perturbed relative to the base renderer at the same seed."""
+    rng = np.random.RandomState(11)
+    img, boxes, lmks = synthetic.render_scene(
+        rng, shape=(128, 128), n_faces=2, min_face=30, max_face=60,
+        family='stress')
+    assert img.dtype == np.uint8 and img.shape == (128, 128, 3)
+    assert boxes.shape[1] == 4 and len(lmks) == len(boxes)
+    assert (boxes[:, 2] > boxes[:, 0]).all()
+    assert (boxes[:, :2] >= -1).all() and (boxes[:, 2] <= 129).all()
+
+    base = synthetic.render_scene(
+        np.random.RandomState(11), shape=(128, 128), n_faces=2,
+        min_face=30, max_face=60, family='base')[0]
+    # stress postprocess (lighting/blur/JPEG) must change the pixels
+    assert np.abs(img.astype(np.int32) - base.astype(np.int32)).mean() > 2
+
+    with np.testing.assert_raises(ValueError):
+        synthetic.render_scene(rng, shape=(64, 64), family='nosuch')

@@ -77,6 +77,7 @@ def test_logits_head_is_model_sharded(trainer_and_state):
     assert spec == jax.sharding.PartitionSpec(None, 'model')
 
 
+@pytest.mark.slow
 def test_train_step_runs_and_learns(trainer_and_state):
     trainer, state = trainer_and_state
     batches = synthetic_batches(12)
@@ -93,6 +94,7 @@ def test_train_step_runs_and_learns(trainer_and_state):
     assert np.isfinite(metrics['loss'])
 
 
+@pytest.mark.slow
 def test_center_loss_training_updates_centers():
     trainer = SoftmaxTrainer(train_cfg(center_factor=0.5), NROF_CLASSES,
                              model_cfg=TINY_MODEL)
@@ -106,6 +108,7 @@ def test_center_loss_training_updates_centers():
     assert not np.allclose(np.asarray(state.centers), 0)
 
 
+@pytest.mark.slow
 def test_triplet_loss_training_runs():
     trainer = SoftmaxTrainer(train_cfg(triplet_factor=1.0), NROF_CLASSES,
                              model_cfg=TINY_MODEL)
@@ -147,6 +150,7 @@ def test_epoch_draws_exactly_steps_per_epoch(trainer_and_state):
     assert len(drawn) == 2 * trainer.steps_per_epoch
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path, trainer_and_state):
     from facenet_tpu.train.checkpoint import CheckpointManager
     trainer, state = trainer_and_state
@@ -214,6 +218,7 @@ def test_export_h5_activations(tmp_path):
     assert 'input' in names
 
 
+@pytest.mark.slow
 def test_remat_matches_no_remat():
     """jax.checkpoint must not change the training numerics."""
     import jax.numpy as jnp
@@ -235,6 +240,7 @@ def test_remat_matches_no_remat():
     assert results[False][1] == pytest.approx(results[True][1], rel=1e-5)
 
 
+@pytest.mark.slow
 def test_training_makes_embeddings_discriminative():
     """SURVEY §4 end-to-end check: after 2 tiny epochs on separable synthetic
     classes, same-class pairs must be much closer than cross-class pairs."""
@@ -275,6 +281,7 @@ def test_training_makes_embeddings_discriminative():
     assert pos < 0.3 * neg, f'pos {pos:.4f} vs neg {neg:.4f}'
 
 
+@pytest.mark.slow
 def test_pure_triplet_training():
     """softmax_factor 0 + triplet_factor > 0: the FaceNet-paper objective."""
     cfg = train_cfg(triplet_factor=1.0, softmax_factor=0.0)
@@ -296,6 +303,7 @@ def test_pure_triplet_training():
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_random_crop_trains_on_larger_images():
     """With random_crop, the step crops load_size images back to image.size
     (reference 182 -> 160 recipe) — previously a silent no-op because the
@@ -311,6 +319,7 @@ def test_random_crop_trains_on_larger_images():
     assert np.isfinite(float(metrics['loss']))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_subprocess():
     """The driver's multi-chip check, run exactly as the driver runs it:
     a fresh process with NO XLA_FLAGS / platform hints — dryrun_multichip
