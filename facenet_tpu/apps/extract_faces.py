@@ -105,8 +105,15 @@ def main(**options):
     print('output directory', options.outdir)
     print('output h5 file  ', options.h5file)
 
+    det_kwargs = {}
+    if options.detector_shapes:
+        # multi-bucket letterbox geometry: list of [H, W] buckets sharing
+        # one weight set; inputs route per size (face_detector.route_shape)
+        det_kwargs['image_shapes'] = [tuple(int(v) for v in s)
+                                      for s in options.detector_shapes]
     detector = FaceDetector(detector=options.detector or 'mtcnn',
-                            weights=options.detector_weights or None)
+                            weights=options.detector_weights or None,
+                            **det_kwargs)
     ioutils.write_text_log(options.logfile, detector)
     print(detector)
 

@@ -120,3 +120,38 @@ def test_detect_files_routes_by_probe(tmp_path):
             assert (bg.left, bg.top, bg.right, bg.bottom) == \
                    (bw.left, bw.top, bw.right, bw.bottom)
     assert sum(map(bool, expected)) >= 1   # and something was detected
+
+
+@pytest.mark.skipif(pretrained.bundled_path('mtcnn') is None,
+                    reason='mtcnn bundle not built')
+@pytest.mark.slow
+def test_extract_faces_app_accepts_detector_shapes(tmp_path):
+    """CLI surface: detector_shapes config reaches the facade's buckets."""
+    import yaml
+    from click.testing import CliRunner
+    from PIL import Image
+
+    from facenet_tpu.apps.extract_faces import main
+
+    raw = tmp_path / 'raw'
+    rng = np.random.RandomState(3)
+    d = raw / 'p0'
+    d.mkdir(parents=True)
+    for i in range(2):
+        img, _g, _l = render_scene(rng, shape=(200, 220), n_faces=1,
+                                   min_face=70, max_face=120)
+        Image.fromarray(img).save(d / f'{i}.png')
+
+    cfg = {
+        'dataset': {'path': str(raw)},
+        'outdir': str(tmp_path / 'out'),
+        'detector': 'mtcnn',
+        'detector_shapes': [[96, 112], [256, 256]],
+        'image': {'size': 160, 'margin': 0.2},
+        'detect_multiple_faces': False,
+    }
+    cfg_file = tmp_path / 'extract.yaml'
+    cfg_file.write_text(yaml.safe_dump(cfg))
+    result = CliRunner().invoke(main, ['--config', str(cfg_file)])
+    assert result.exit_code == 0, result.output
+    assert list((tmp_path / 'out').glob('p0/*.png'))
