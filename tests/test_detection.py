@@ -167,6 +167,53 @@ def test_align_by_landmarks_shapes():
     np.testing.assert_allclose(out, imgs, atol=1e-2)
 
 
+def test_dense_warp_matches_gather_warp():
+    # the gather-free dense formulation is the same bilinear math,
+    # including the clamp-to-edge behavior of samples outside the image
+    rng = np.random.RandomState(1)
+    imgs = rng.uniform(0, 255, (3, 40, 48, 3)).astype(np.float32)
+    ths = [0.3, -0.2, 0.05]
+    mats = np.stack([
+        np.array([[np.cos(t), -np.sin(t), rng.uniform(-8, 8)],
+                  [np.sin(t), np.cos(t), rng.uniform(-8, 8)]], np.float32)
+        for t in ths])
+    a = np.asarray(image_ops.affine_warp(jnp.asarray(imgs),
+                                         jnp.asarray(mats), (16, 20)))
+    b = np.asarray(image_ops.dense_warp(jnp.asarray(imgs),
+                                        jnp.asarray(mats), (16, 20)))
+    np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+def test_dense_warp_chunked_padding():
+    # batch > chunk goes through the padded lax.map path
+    rng = np.random.RandomState(2)
+    imgs = rng.uniform(0, 255, (5, 24, 24, 3)).astype(np.float32)
+    mats = np.tile(np.eye(2, 3, dtype=np.float32)[None], (5, 1, 1))
+    out = np.asarray(image_ops.dense_warp(jnp.asarray(imgs),
+                                          jnp.asarray(mats), (24, 24),
+                                          chunk=2))
+    np.testing.assert_allclose(out, imgs, atol=1e-3)
+
+
+def test_align_dense_matches_gather_on_linear_image():
+    # bilinear resampling of a LINEAR image is exact, so the dense
+    # method's extra crop resample costs nothing and any disagreement
+    # with the gather path would be a geometry (composition) bug
+    yy, xx = np.mgrid[0:96, 0:96].astype(np.float32)
+    img = np.stack([2 * xx, 3 * yy, xx + yy], axis=-1)[None]
+    tpl = image_ops.canonical_landmarks(48) - 24.0
+    th = 0.3
+    rot = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    lmk = (tpl @ (1.1 * rot).T + np.array([50.0, 45.0]))[None]
+    a = np.asarray(image_ops.align_by_landmarks(
+        jnp.asarray(img), jnp.asarray(lmk, np.float32), 48,
+        method='gather'))
+    b = np.asarray(image_ops.align_by_landmarks(
+        jnp.asarray(img), jnp.asarray(lmk, np.float32), 48,
+        method='dense'))
+    np.testing.assert_allclose(a, b, atol=2e-2)
+
+
 # ---------------------------------------------------------------------------
 # cascade
 # ---------------------------------------------------------------------------

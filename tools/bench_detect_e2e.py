@@ -126,25 +126,51 @@ def aligned_embeddings_rate(batch=64, iters=8):
     align = jax.jit(lambda im, lm: align_by_landmarks(
         im.astype(jnp.float32), lm, 160))
 
-    def step(x):
-        out = backend._detect_jit(backend.params, x)
-        aligned = align(x, out['landmarks'][:, 0])
-        emb = embed(fparams, aligned.astype(jnp.uint8))
-        probe = emb[0, 0] + out['scores'].sum()
-        return probe, x + (probe * 0).astype(jnp.uint8)
+    from facenet_tpu.ops.image_ops import crop_and_resize
 
-    probe = None
-    cur = imgs_d
-    for _ in range(2):
-        probe, cur = step(cur)
-    float(np.asarray(probe))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        probe, cur = step(cur)
-    float(np.asarray(probe))
-    dt = (time.perf_counter() - t0) / iters
-    print(f'detect->align->embed:  {batch / dt:8.1f} aligned emb/s '
-          f'({1000 * dt:.2f} ms/batch{batch})', flush=True)
+    def margin_crop(im, boxes, margin=0.2):
+        # the reference's extract_faces geometry: margin-expanded BOX crop
+        # (ref face_detector.py:9-26) — axis-aligned, so it runs on the
+        # separable-matmul crop (2.4 ms/batch64 vs ~90 ms for the gather
+        # warp; tools/try_align.py)
+        wh = boxes[:, 2:4] - boxes[:, 0:2]
+        lo = boxes[:, 0:2] - wh * (margin / 2)
+        hi = boxes[:, 2:4] + wh * (margin / 2)
+        b = jnp.concatenate([lo, hi], axis=1)[:, None, :]
+        return crop_and_resize(im.astype(jnp.float32), b, 160)[:, 0]
+
+    crop = jax.jit(margin_crop)
+
+    def timed_chain(stage):
+        def step(x):
+            out = backend._detect_jit(backend.params, x)
+            if stage == 'warp':
+                aligned = align(x, out['landmarks'][:, 0])
+            else:
+                aligned = crop(x, out['boxes'][:, 0])
+            emb = embed(fparams, aligned.astype(jnp.uint8))
+            probe = emb[0, 0] + out['scores'].sum()
+            return probe, x + (probe * 0).astype(jnp.uint8)
+
+        probe = None
+        cur = imgs_d
+        for _ in range(2):
+            probe, cur = step(cur)
+        float(np.asarray(probe))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            probe, cur = step(cur)
+        float(np.asarray(probe))
+        return (time.perf_counter() - t0) / iters
+
+    dt = timed_chain('crop')
+    print(f'detect->crop->embed:   {batch / dt:8.1f} aligned emb/s '
+          f'({1000 * dt:.2f} ms/batch{batch}; reference margin-crop '
+          'geometry)', flush=True)
+    dt = timed_chain('warp')
+    print(f'detect->warp->embed:   {batch / dt:8.1f} aligned emb/s '
+          f'({1000 * dt:.2f} ms/batch{batch}; landmark rotation warp)',
+          flush=True)
 
 
 if __name__ == '__main__':
