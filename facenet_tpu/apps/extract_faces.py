@@ -3,6 +3,16 @@
 Parity: reference apps/extract_faces.py — but detection runs BATCHED
 through the jitted TPU cascade instead of one sess.run per image
 (the reference hot loop, SURVEY.md §3.2).
+
+Alignment modes (`image.align`):
+- 'crop' (default): margin-expanded box crop + resize, the reference's
+  exact geometry (ref detectors/face_detector.py:9-26), from the
+  full-resolution original via PIL.
+- 'landmarks': 5-point similarity alignment to the canonical template
+  (the capability the reference delegates to the pip `mtcnn` package);
+  runs batched on device (ops/image_ops.align_by_landmarks) over the
+  letterboxed detector frame. MTCNN only (FRCNN emits no landmarks);
+  boxes without landmarks fall back to the margin crop.
 """
 
 import click
@@ -54,7 +64,64 @@ def _crop_name(base, n):
     return base.parent / f'{base.stem}_{n}{base.suffix}'
 
 
-def _extract_class(cls, detector, options, counters, pool):
+class _LandmarkAligner:
+    """Batched device-side 5-point alignment for the 'landmarks' mode.
+
+    Items from one decode chunk are letterboxed to their detector bucket
+    (landmarks mapped through the same geometry), padded to a fixed
+    capacity so each (bucket, out_size) pair compiles exactly once, and
+    warped in one dispatch."""
+
+    def __init__(self, detector, out_size, capacity=DETECT_BATCH):
+        self.detector = detector
+        self.size = int(out_size)
+        self.capacity = int(capacity)
+        self._jit = {}
+
+    def _align_fn(self, shape):
+        if shape not in self._jit:
+            import jax
+            from facenet_tpu.ops.image_ops import align_by_landmarks
+            self._jit[shape] = jax.jit(
+                lambda imgs, lmk: align_by_landmarks(imgs, lmk, self.size))
+        return self._jit[shape]
+
+    def __call__(self, arrays, items):
+        """items: [(img_idx, n, BoundingBox with landmarks)] ->
+        {(img_idx, n): uint8 [S, S, 3] crop}."""
+        from facenet_tpu.detectors.mtcnn.cascade import letterbox_batch
+
+        out = {}
+        by_shape = {}
+        for item in items:
+            h, w = arrays[item[0]].shape[:2]
+            by_shape.setdefault(self.detector.route_shape(h, w),
+                                []).append(item)
+        for shape, group in by_shape.items():
+            for start in range(0, len(group), self.capacity):
+                sub = group[start:start + self.capacity]
+                batch, scales, pads = letterbox_batch(
+                    [arrays[i] for i, _, _ in sub], shape)
+                lmk = np.stack(
+                    [box.landmarks * scales[j] + pads[j][None, :]
+                     for j, (_, _, box) in enumerate(sub)]
+                ).astype(np.float32)
+                pad_n = self.capacity - len(sub)
+                if pad_n:
+                    batch = np.concatenate(
+                        [batch, np.zeros((pad_n,) + batch.shape[1:],
+                                         batch.dtype)])
+                    lmk = np.concatenate(
+                        [lmk, np.tile(lmk[-1:], (pad_n, 1, 1))])
+                crops = np.asarray(
+                    self._align_fn(shape)(batch.astype(np.float32), lmk))
+                for j, (i, n, _) in enumerate(sub):
+                    out[(i, n)] = np.clip(
+                        crops[j] + 0.5, 0, 255).astype(np.uint8)
+        return out
+
+
+def _extract_class(cls, detector, options, counters, pool, aligner=None):
     """Detect every image of one class in cascade-sized batches and write
     the aligned crops + face-size records.
 
@@ -78,14 +145,27 @@ def _extract_class(cls, detector, options, counters, pool):
         if not arrays:
             continue
 
-        for pil, path, boxes in zip(pils, ok_paths,
-                                    detector.detect_images(arrays)):
+        detections = detector.detect_images(arrays)
+        aligned = {}
+        if aligner is not None:
+            items = [(j, n, box)
+                     for j, boxes in enumerate(detections)
+                     if boxes and not (single_face_only and len(boxes) > 1)
+                     for n, box in enumerate(boxes)
+                     if box.landmarks is not None]
+            aligned = aligner(arrays, items)
+
+        for j, (pil, path, boxes) in enumerate(zip(pils, ok_paths,
+                                                   detections)):
             if not boxes or (single_face_only and len(boxes) > 1):
                 continue
             counters['faces'] += 1
             base = class_dir / (Path(path).stem + '.png')
             for n, box in enumerate(boxes):
-                crop = image_processing(pil, box, options.image)
+                if (j, n) in aligned:
+                    crop = ioutils.array2pil(aligned[(j, n)])
+                else:
+                    crop = image_processing(pil, box, options.image)
                 out = _crop_name(base, n)
                 ioutils.write_image(crop, out)
                 h5utils.write(options.h5file,
@@ -117,10 +197,17 @@ def main(**options):
     ioutils.write_text_log(options.logfile, detector)
     print(detector)
 
+    aligner = None
+    if str(options.image.align or 'crop') == 'landmarks':
+        aligner = _LandmarkAligner(detector,
+                                   config.value_or(options.image.size, 160))
+        print('alignment: 5-point landmark similarity warp (device)')
+
     counters = {'faces': 0, 'unreadable': 0}
     with ThreadPoolExecutor(max_workers=1) as pool:
         for cls in dbase.classes:
-            _extract_class(cls, detector, options, counters, pool)
+            _extract_class(cls, detector, options, counters, pool,
+                           aligner=aligner)
 
     out_dbase = dataset.DBase(dataset.DefaultConfig(options.outdir))
     ioutils.write_text_log(options.logfile, out_dbase)

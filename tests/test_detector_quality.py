@@ -136,6 +136,43 @@ def test_extract_faces_crops_real_faces(tmp_path):
     assert arr.std() > 20, 'crop looks like background noise'
 
 
+@pytest.mark.skipif(pretrained.bundled_path('mtcnn') is None,
+                    reason='mtcnn bundle not built')
+def test_extract_faces_landmark_alignment(tmp_path):
+    """image.align: landmarks routes crops through the batched device
+    5-point warp (apps/extract_faces._LandmarkAligner) instead of the
+    PIL margin crop; crops must still contain the face."""
+    from facenet_tpu.apps.extract_faces import main
+
+    raw = tmp_path / 'raw'
+    rng = np.random.RandomState(99)
+    d = raw / 'p00'
+    d.mkdir(parents=True)
+    for i in range(3):
+        img, _, _ = render_scene(rng, shape=(200, 220), n_faces=1,
+                                 min_face=70, max_face=130)
+        Image.fromarray(img).save(d / f'{i}.png')
+
+    cfg = {
+        'dataset': {'path': str(raw)},
+        'outdir': str(tmp_path / 'out'),
+        'detector': 'mtcnn',
+        'image': {'size': 96, 'align': 'landmarks'},
+        'detect_multiple_faces': False,
+    }
+    cfg_file = tmp_path / 'extract.yaml'
+    cfg_file.write_text(yaml.safe_dump(cfg))
+
+    result = CliRunner().invoke(main, ['--config', str(cfg_file)])
+    assert result.exit_code == 0, result.output
+
+    crops = list((tmp_path / 'out').glob('p*/*.png'))
+    assert len(crops) >= 2, f'only {len(crops)}/3 faces extracted'
+    arr = np.asarray(Image.open(crops[0]).convert('RGB'), np.float32)
+    assert arr.shape == (96, 96, 3)
+    assert arr.std() > 20, 'crop looks like background noise'
+
+
 # STRESS-FAMILY gates (VERDICT r3 weak #3 / next #6): occlusion, motion
 # blur, JPEG artifacts, crowding and extreme lighting — the nuisance
 # factors of real photos that the clean renderer lacks. History: the

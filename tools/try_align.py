@@ -226,6 +226,40 @@ def main():
     print(f'crop+dense bf16: {1000 * t_d16:8.2f} ms/batch{batch} '
           f'({t_a / t_d16:.2f}x vs full)')
 
+    # ---- E: crop + fused Pallas dense warp (ops/pallas_warp.py): the
+    # XLA dense form is bound by the [pixels, T, 3] HBM round-trip; the
+    # kernel keeps it in VMEM.
+    from facenet_tpu.ops.pallas_warp import dense_warp_pallas
+
+    def crop_pallas(x):
+        img = x.astype(jnp.float32)
+        template = jnp.asarray(canonical_landmarks(S))
+
+        def geometry(lm):
+            inv = invert_affine(
+                similarity_transform_from_points(lm, template))
+            corners = jnp.asarray(
+                [[0.0, 0.0], [S - 1.0, 0.0], [0.0, S - 1.0],
+                 [S - 1.0, S - 1.0]])
+            src = corners @ inv[:, :2].T + inv[:, 2]
+            lo = jnp.min(src, axis=0) - 4.0
+            hi = jnp.max(src, axis=0) + 4.0
+            box = jnp.concatenate([lo, hi])
+            sc = T / (hi - lo)
+            a = inv[:, :2] * sc[:, None]
+            t = (inv[:, 2] + 0.5 - lo) * sc - 0.5
+            return box, jnp.concatenate([a, t[:, None]], axis=1)
+
+        boxes, mats = jax.vmap(geometry)(landmarks)
+        inter = crop_and_resize(img, boxes[:, None, :], T)[:, 0]
+        crops = dense_warp_pallas(inter, mats, (S, S))
+        acc = jnp.sum(crops[..., 0].astype(jnp.float32))
+        return acc, x + (acc * 0).astype(jnp.uint8)
+
+    t_e = chain_time(crop_pallas, images)
+    print(f'crop+pallas: {1000 * t_e:8.2f} ms/batch{batch} '
+          f'({t_a / t_e:.2f}x vs full)')
+
     # ---- C: axis-aligned crop only (ceiling)
     def crop_only(x):
         img = x.astype(jnp.float32)
