@@ -187,3 +187,11 @@ class FaceNet:
 def check_output_size(model):
     from facenet_tpu.models.inception_resnet_v1 import check_input_config
     return check_input_config(model.config).output.size
+
+
+def __getattr__(name):
+    # lazy: pipeline imports FaceNet from this module at construction
+    if name == 'FacePipeline':
+        from facenet_tpu.pipeline import FacePipeline
+        return FacePipeline
+    raise AttributeError(f'module {__name__!r} has no attribute {name!r}')

@@ -265,12 +265,14 @@ def align_by_landmarks(images, landmarks, out_size, method='auto'):
       single resample, but 2-D gathers are pathologically slow on TPU
       (90 ms/batch64, and the cost barely moves with source size).
     - 'dense': axis-aligned `crop_and_resize` onto a small intermediate
-      (handles scale; separable MXU matmuls), then a gather-free
-      `dense_warp` for the rotation (36 ms/batch64, 2.5x). Geometry is
-      composed exactly through the crop's half-pixel convention — on
-      linear images the two methods agree to f32 rounding — at the cost
-      of ONE extra bilinear resample (measured mean abs 1.8 / p99 12 on
-      noise-background synthetic scenes; far less on smooth content).
+      (handles scale; separable MXU matmuls), then a gather-free dense
+      warp for the rotation — the fused Pallas kernel on TPU
+      (9.8 ms/batch64, 9.2x; ops/pallas_warp.py), the XLA `dense_warp`
+      elsewhere (36 ms, 2.5x). Geometry is composed exactly through the
+      crop's half-pixel convention — on linear images the two methods
+      agree to f32 rounding — at the cost of ONE extra bilinear
+      resample (measured mean abs 1.8 / p99 12 on noise-background
+      synthetic scenes; far less on smooth content).
     - 'auto': 'dense' on TPU, 'gather' elsewhere (CPU gathers are fast
       and exact; the dense form's FLOPs only pay off on the MXU).
 
@@ -316,4 +318,10 @@ def align_by_landmarks(images, landmarks, out_size, method='auto'):
 
     boxes, mats = jax.vmap(geometry)(matrices)
     inter = crop_and_resize(images, boxes[:, None, :], t)[:, 0]
+    if (jax.default_backend() in ('tpu', 'axon') and s % 8 == 0
+            and images.shape[-1] == 3):
+        # fused kernel: 9.8 ms/batch64 vs 36.5 XLA dense vs 90 gather
+        # (tools/try_pallas_warp.py, v5e; parity max 0.75 LSB)
+        from facenet_tpu.ops.pallas_warp import dense_warp_pallas
+        return dense_warp_pallas(inter, mats, (s, s))
     return dense_warp(inter, mats, (s, s))

@@ -60,7 +60,9 @@ def _warp_kernel(mref, iref, oref, *, t, oh, ow, bs):
     in_x = jnp.clip(m00 * q + m01 * r + m02, 0.0, t - 1.0)   # [p, 1]
     in_y = jnp.clip(m10 * q + m11 * r + m12, 0.0, t - 1.0)
 
-    lane_h = jax.lax.broadcasted_iota(jnp.float32, (p, t), 1)
+    # Mosaic's tpu.iota is integer-only; build int32 and cast
+    lane_h = jax.lax.broadcasted_iota(jnp.int32, (p, t), 1) \
+        .astype(jnp.float32)
     wy = jnp.maximum(0.0, 1.0 - jnp.abs(lane_h - in_y))      # [p, t]
 
     rows = jnp.dot(wy.astype(jnp.bfloat16), iref[0],

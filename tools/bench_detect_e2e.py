@@ -141,17 +141,27 @@ def aligned_embeddings_rate(batch=64, iters=8):
 
     crop = jax.jit(margin_crop)
 
-    def timed_chain(stage):
+    def timed_chain(stage, fused=False):
         def step(x):
-            out = backend._detect_jit(backend.params, x)
+            # fused: the whole detect->align->embed step is ONE jit (one
+            # dispatch through the tunnel, XLA free to fuse across stages)
+            detect = backend._detect if fused else backend._detect_jit
+            out = detect(backend.params, x)
             if stage == 'warp':
-                aligned = align(x, out['landmarks'][:, 0])
+                aligned = align_by_landmarks(
+                    x.astype(jnp.float32), out['landmarks'][:, 0], 160) \
+                    if fused else align(x, out['landmarks'][:, 0])
             else:
-                aligned = crop(x, out['boxes'][:, 0])
-            emb = embed(fparams, aligned.astype(jnp.uint8))
+                aligned = (margin_crop if fused else crop)(
+                    x, out['boxes'][:, 0])
+            emb_fn = ((lambda p, a: fast_forward(p, fcfg, a))
+                      if fused else embed)
+            emb = emb_fn(fparams, aligned.astype(jnp.uint8))
             probe = emb[0, 0] + out['scores'].sum()
             return probe, x + (probe * 0).astype(jnp.uint8)
 
+        if fused:
+            step = jax.jit(step)
         probe = None
         cur = imgs_d
         for _ in range(2):
@@ -171,6 +181,12 @@ def aligned_embeddings_rate(batch=64, iters=8):
     print(f'detect->warp->embed:   {batch / dt:8.1f} aligned emb/s '
           f'({1000 * dt:.2f} ms/batch{batch}; landmark rotation warp)',
           flush=True)
+    dt = timed_chain('crop', fused=True)
+    print(f'fused crop chain:      {batch / dt:8.1f} aligned emb/s '
+          f'({1000 * dt:.2f} ms/batch{batch}; one dispatch)', flush=True)
+    dt = timed_chain('warp', fused=True)
+    print(f'fused warp chain:      {batch / dt:8.1f} aligned emb/s '
+          f'({1000 * dt:.2f} ms/batch{batch}; one dispatch)', flush=True)
 
 
 if __name__ == '__main__':
