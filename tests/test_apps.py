@@ -107,6 +107,46 @@ def test_embeddings_app(face_tree, tiny_bundle, tmp_path):
     assert len(labels) == 24
 
 
+def test_embeddings_app_pipeline_mode(tiny_bundle, tmp_path):
+    """pipeline: config embeds RAW SCENES through the fused
+    detect->align->embed FacePipeline — no extract_faces round trip."""
+    from facenet_tpu.apps.embeddings import main
+    from facenet_tpu.utils.synthetic import render_scene
+    from facenet_tpu import h5utils
+
+    raw = tmp_path / 'scenes'
+    rng = np.random.RandomState(42)
+    for c in range(2):
+        d = raw / f'id_{c:02d}'
+        d.mkdir(parents=True)
+        for i in range(2):
+            img, _, _ = render_scene(rng, shape=(256, 256), n_faces=1,
+                                     min_face=90, max_face=150)
+            Image.fromarray(img).save(d / f'{i}.png')
+
+    cfg = {
+        'dataset': {'path': str(raw)},
+        # normalization here is the app's L2 flag (the app default is
+        # raw bottleneck outputs, reference parity) — ask for unit norms
+        'model': {'path': str(tiny_bundle), 'normalization': True},
+        'batch_size': 4,
+        'suffix': '.h5',
+        'pipeline': {'image_shape': [256, 256], 'align': 'crop'},
+    }
+    cfg_file = tmp_path / 'embeddings.yaml'
+    cfg_file.write_text(yaml.safe_dump(cfg))
+
+    result = CliRunner().invoke(main, ['--config', str(cfg_file)])
+    assert result.exit_code == 0, result.output
+
+    outfile = Path(str(raw) + '_' + tiny_bundle.stem) / 'embeddings.h5'
+    embs = h5utils.read(outfile, 'embeddings')
+    labels = h5utils.read(outfile, 'labels')
+    assert embs.shape[1] == 32 and 1 <= embs.shape[0] <= 4
+    assert len(labels) == embs.shape[0]
+    np.testing.assert_allclose(np.linalg.norm(embs, axis=1), 1.0, atol=1e-3)
+
+
 def test_embeddings_app_tfrecord(face_tree, tiny_bundle, tmp_path):
     from facenet_tpu.apps.embeddings import main
     from facenet_tpu.utils.tfrecord import TFRecord
