@@ -89,7 +89,7 @@ def main():
     aligned_embeddings_rate(batch=max(batch, 64))
 
 
-def aligned_embeddings_rate(batch=64, iters=8):
+def aligned_embeddings_rate(batch=64, iters=8, chains=None):
     """Device chain: detect -> landmark-align -> embed, aligned
     embeddings/s on one chip (the BASELINE.json north-star unit — 20k/s
     on a v5e-8 implies >=2,500 aligned crops/s/chip).
@@ -98,6 +98,9 @@ def aligned_embeddings_rate(batch=64, iters=8):
     stages (cascade, align, fused embed) chain through device arrays, and
     the timing loop chains iterations through the output so the wall
     clock measures true serialized throughput.
+
+    :param chains: subset of ('crop', 'warp', 'fused-crop', 'fused-warp')
+        to time (each first run pays a remote compile); default all four.
     """
     import jax
     import jax.numpy as jnp
@@ -173,20 +176,25 @@ def aligned_embeddings_rate(batch=64, iters=8):
         float(np.asarray(probe))
         return (time.perf_counter() - t0) / iters
 
-    dt = timed_chain('crop')
-    print(f'detect->crop->embed:   {batch / dt:8.1f} aligned emb/s '
-          f'({1000 * dt:.2f} ms/batch{batch}; reference margin-crop '
-          'geometry)', flush=True)
-    dt = timed_chain('warp')
-    print(f'detect->warp->embed:   {batch / dt:8.1f} aligned emb/s '
-          f'({1000 * dt:.2f} ms/batch{batch}; landmark rotation warp)',
-          flush=True)
-    dt = timed_chain('crop', fused=True)
-    print(f'fused crop chain:      {batch / dt:8.1f} aligned emb/s '
-          f'({1000 * dt:.2f} ms/batch{batch}; one dispatch)', flush=True)
-    dt = timed_chain('warp', fused=True)
-    print(f'fused warp chain:      {batch / dt:8.1f} aligned emb/s '
-          f'({1000 * dt:.2f} ms/batch{batch}; one dispatch)', flush=True)
+    chains = chains or ('crop', 'warp', 'fused-crop', 'fused-warp')
+    if 'crop' in chains:
+        dt = timed_chain('crop')
+        print(f'detect->crop->embed:   {batch / dt:8.1f} aligned emb/s '
+              f'({1000 * dt:.2f} ms/batch{batch}; reference margin-crop '
+              'geometry)', flush=True)
+    if 'warp' in chains:
+        dt = timed_chain('warp')
+        print(f'detect->warp->embed:   {batch / dt:8.1f} aligned emb/s '
+              f'({1000 * dt:.2f} ms/batch{batch}; landmark rotation warp)',
+              flush=True)
+    if 'fused-crop' in chains:
+        dt = timed_chain('crop', fused=True)
+        print(f'fused crop chain:      {batch / dt:8.1f} aligned emb/s '
+              f'({1000 * dt:.2f} ms/batch{batch}; one dispatch)', flush=True)
+    if 'fused-warp' in chains:
+        dt = timed_chain('warp', fused=True)
+        print(f'fused warp chain:      {batch / dt:8.1f} aligned emb/s '
+              f'({1000 * dt:.2f} ms/batch{batch}; one dispatch)', flush=True)
 
 
 if __name__ == '__main__':
