@@ -317,6 +317,26 @@ def validate(app_file_name, options):
     return cfg
 
 
+def validate_on_lfw(app_file_name, options):
+    """Preparer for the fixed-pairs (LFW-protocol) validation app."""
+    cfg = load_config(app_file_name, options)
+
+    if not cfg.model.path:
+        cfg.model.path = default_model_path
+    if not cfg.dataset.pairs:
+        cfg.dataset.pairs = Path(str(cfg.dataset.path)).expanduser().parent \
+            / 'pairs.txt'
+
+    cfg.outdir = Path(str(cfg.dataset.path) + '_'
+                      + Path(str(cfg.model.path)).stem).expanduser()
+    cfg.logdir = cfg.outdir
+    cfg.logfile = cfg.outdir.joinpath('validate_on_lfw.txt')
+
+    cfg.seed_key = set_seed(cfg.seed)
+    _write_provenance(cfg, cfg.logdir, app_file_name)
+    return cfg
+
+
 def train_classifier(app_file_name, options):
     cfg = load_config(app_file_name, options)
 
