@@ -135,21 +135,27 @@ def generate_pairs(image_dir, nrof_folds=10, nrof_pairs=300, seed=0,
     `nrof_folds` DISJOINT groups; each fold contributes `nrof_pairs`
     same-identity pairs and `nrof_pairs` different-identity pairs drawn
     only from its own identity group (so train/test folds never share an
-    identity). Image indices are 1-based positions in the sorted file
-    list of each identity directory, matching `<name>_%04d` resolution.
+    identity). Image indices are parsed from the actual `<name>_<idx>.*`
+    filenames (LFW's are 1-based, other datasets may be 0-based or have
+    gaps), so every emitted pair is guaranteed to resolve via
+    `get_paths`.
 
     This turns the synthetic evidence datasets (and any user dataset)
     into a fixed-pairs benchmark evaluable by `apps/validate_on_lfw.py`.
 
     :return: the pair tuples (also written to `output` when given)
     """
+    import re
+
     rng = np.random.RandomState(seed)
     root = Path(image_dir)
     classes = {}
     for d in sorted(p for p in root.iterdir() if p.is_dir()):
-        n = len([f for f in d.iterdir() if f.is_file()])
-        if n >= 1:
-            classes[d.name] = n
+        pattern = re.compile(re.escape(d.name) + r'_(\d+)$')
+        indices = sorted(int(m.group(1)) for f in d.iterdir()
+                         if f.is_file() and (m := pattern.match(f.stem)))
+        if indices:
+            classes[d.name] = indices
     names = list(classes)
     if len(names) < 2 * nrof_folds:
         raise ValueError(
@@ -161,20 +167,23 @@ def generate_pairs(image_dir, nrof_folds=10, nrof_pairs=300, seed=0,
     pairs = []
     for group in groups:
         group_names = [names[i] for i in group]
-        multi = [n for n in group_names if classes[n] >= 2]
+        multi = [n for n in group_names if len(classes[n]) >= 2]
         if not multi:
             raise ValueError('a fold has no identity with >= 2 images')
+
+        def pick(name):
+            return classes[name][rng.randint(len(classes[name]))]
+
         same = []
         while len(same) < nrof_pairs:
             name = multi[rng.randint(len(multi))]
-            i, k = rng.choice(classes[name], size=2, replace=False) + 1
+            i, k = rng.choice(classes[name], size=2, replace=False)
             same.append((name, str(min(i, k)), str(max(i, k))))
         diff = []
         while len(diff) < nrof_pairs:
             a, b = rng.choice(len(group_names), size=2, replace=False)
             a, b = sorted((group_names[a], group_names[b]))
-            diff.append((a, str(rng.randint(classes[a]) + 1),
-                         b, str(rng.randint(classes[b]) + 1)))
+            diff.append((a, str(pick(a)), b, str(pick(b))))
         pairs += same + diff
 
     if output is not None:

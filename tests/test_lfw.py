@@ -120,6 +120,27 @@ def test_generate_pairs_roundtrip(tmp_path):
             assert not (fold_names[a] & fold_names[b])
 
 
+def test_generate_pairs_zero_based_indices(tmp_path):
+    """Datasets with 0-based image indices (e.g. the synthetic evidence
+    renderer) must generate fully-resolvable pairs: indices are parsed
+    from the real filenames, not assumed 1-based like LFW's."""
+    root = tmp_path / 'faces'
+    for c in range(8):
+        d = root / f'p_{c}'
+        d.mkdir(parents=True)
+        for i in range(3):  # p_0_0000.png .. p_0_0002.png
+            (d / f'p_{c}_{i:04d}.png').write_bytes(b'x')
+
+    out = tmp_path / 'pairs.txt'
+    lfw.generate_pairs(root, nrof_folds=4, nrof_pairs=4, seed=0, output=out)
+    parsed = lfw.read_pairs(out)
+    indices = [int(x) for p in parsed for x in (p[1:] if len(p) == 3
+                                                else (p[1], p[3]))]
+    assert min(indices) == 0 and max(indices) <= 2
+    paths, issame, skipped = lfw.get_paths(root, parsed)
+    assert skipped == 0 and len(issame) == 4 * 2 * 4
+
+
 def test_generate_pairs_too_few_identities(tmp_path):
     root = tmp_path / 'faces'
     for c in range(3):
@@ -279,6 +300,7 @@ def test_pair_count_mismatch_raises():
 # app e2e: LFW-style tree + pairs.txt + tiny model -> report artifacts
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_validate_on_lfw_app(tmp_path):
     from click.testing import CliRunner
     import jax

@@ -78,6 +78,10 @@ def main():
     ap.add_argument('--data-dir', type=Path, default=None,
                     help='reuse/keep rendered datasets here')
     ap.add_argument('--center-loss', type=float, default=0.5)
+    ap.add_argument('--lfw-pairs', type=int, default=300,
+                    help='fixed-pairs protocol pairs per fold per kind '
+                         '(10 folds; 300 = the 6,000-pair LFW geometry). '
+                         '0 disables the stage.')
     ap.add_argument('--hard', action='store_true',
                     help='de-saturated benchmark mode: family-overlapped '
                          'identities + heavy per-image nuisance '
@@ -154,9 +158,41 @@ def main():
     print(f'training + validation + export: {time.time() - t0:.0f}s')
 
     # ------------------------------------------------------------------
+    # 2b. the standard fixed-pairs (validate-on-LFW) protocol over the
+    # unseen identities — the published-number protocol at LFW geometry
+    # (nrof_folds x 2 x lfw-pairs pairs from identity-disjoint folds),
+    # evaluated on the exported bundle. Writes validate_on_lfw.{txt,h5}
+    # next to report.txt so the evidence chain carries both protocols.
+    logs_src = Path(str(cfg.logs.dir))
+    if args.lfw_pairs:
+        from facenet_tpu import lfw
+        from facenet_tpu.apps.validate_on_lfw import _embed
+        from facenet_tpu.config import Config
+
+        t0 = time.time()
+        pairs_file = data_root / 'pairs.txt'
+        lfw.generate_pairs(eval_dir, nrof_folds=10,
+                           nrof_pairs=args.lfw_pairs, seed=0,
+                           output=pairs_file)
+        pairs = lfw.read_pairs(pairs_file)
+        paths, issame, skipped = lfw.get_paths(eval_dir, pairs)
+        assert not skipped, f'{skipped} generated pairs failed to resolve'
+        emb = _embed(paths, Config({
+            'model': {'path': str(cfg.model.path), 'normalize': True},
+            'image': {'size': 160}, 'batch_size': args.batch_size,
+            'validate': {}}))
+        report = lfw.LfwValidation(emb, issame,
+                                   {'nrof_folds': 10, 'metric': 0,
+                                    'far_target': 0.001})
+        report.write_report(logs_src / 'validate_on_lfw.txt')
+        report.write_h5file(logs_src / 'validate_on_lfw.h5')
+        print(f'fixed-pairs protocol ({len(issame)} pairs): '
+              f'{report.accuracy:.5f}+-{report.accuracy_std:.5f} '
+              f'({time.time() - t0:.0f}s)')
+
+    # ------------------------------------------------------------------
     # 3. commit-able evidence: copy the log chain into models/<run>/logs
     run_dir = Path(str(cfg.model.path))
-    logs_src = Path(str(cfg.logs.dir))
     dest = args.out / run_dir.name / 'logs'
     dest.mkdir(parents=True, exist_ok=True)
     for f in logs_src.glob('*'):
