@@ -94,6 +94,15 @@ def run(cfg):
     ckpt = CheckpointManager(cfg.model.path / 'checkpoints',
                              max_to_keep=cfg.checkpoint.max_to_keep or 3)
 
+    # warm-start the backbone from a serving bundle / imported
+    # reference-h5 weights (fine-tune-from-pretrained, RUNBOOK.md §D);
+    # a checkpoint restore below overrides it when both are given
+    if cfg.model.weights:
+        from facenet_tpu import export
+        bundle = export.load_model(cfg.model.weights)
+        state = trainer.warm_start(state, bundle.variables)
+        print(f'Warm-started backbone from {cfg.model.weights}')
+
     data_state = None
     if cfg.model.checkpoint:
         restore_mgr = CheckpointManager(cfg.model.checkpoint)

@@ -323,9 +323,13 @@ def validate_on_lfw(app_file_name, options):
 
     if not cfg.model.path:
         cfg.model.path = default_model_path
+    # lfw.get_paths/read_pairs receive these verbatim — expanduser here
+    # so the shipped '~/...' defaults resolve (ADVICE r4, medium).
+    cfg.dataset.path = Path(str(cfg.dataset.path)).expanduser()
     if not cfg.dataset.pairs:
-        cfg.dataset.pairs = Path(str(cfg.dataset.path)).expanduser().parent \
-            / 'pairs.txt'
+        cfg.dataset.pairs = cfg.dataset.path.parent / 'pairs.txt'
+    else:
+        cfg.dataset.pairs = Path(str(cfg.dataset.pairs)).expanduser()
 
     cfg.outdir = Path(str(cfg.dataset.path) + '_'
                       + Path(str(cfg.model.path)).stem).expanduser()

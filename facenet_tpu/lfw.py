@@ -63,14 +63,20 @@ def read_pairs(pairs_filename):
     """
     pairs = []
     header = None
+    seen_content = False
     with open(pairs_filename) as f:
         for line_no, line in enumerate(f):
             fields = line.strip().split()
             if not fields:
                 continue
-            if line_no == 0 and len(fields) <= 2 and fields[0].isdigit():
+            if (not seen_content and len(fields) <= 2
+                    and fields[0].isdigit()):
+                # header is the first NON-EMPTY line (files may lead with
+                # blank lines — ADVICE r4)
                 header = tuple(int(x) for x in fields)
+                seen_content = True
                 continue
+            seen_content = True
             if len(fields) not in (3, 4):
                 raise ValueError(
                     f'{pairs_filename}: line {line_no + 1} has '
@@ -174,16 +180,41 @@ def generate_pairs(image_dir, nrof_folds=10, nrof_pairs=300, seed=0,
         def pick(name):
             return classes[name][rng.randint(len(classes[name]))]
 
-        same = []
+        # Official View-2 pairs are unique; sample into a set and error
+        # out if the group cannot supply enough DISTINCT pairs
+        # (ADVICE r4 — duplicates skew fold statistics).
+        max_tries = 100 * nrof_pairs
+
+        same, seen = [], set()
+        tries = 0
         while len(same) < nrof_pairs:
+            tries += 1
+            if tries > max_tries:
+                raise ValueError(
+                    f'cannot draw {nrof_pairs} distinct same-identity '
+                    f'pairs from a fold group of {len(multi)} multi-image '
+                    'identities')
             name = multi[rng.randint(len(multi))]
             i, k = rng.choice(classes[name], size=2, replace=False)
-            same.append((name, str(min(i, k)), str(max(i, k))))
-        diff = []
+            pair = (name, str(min(i, k)), str(max(i, k)))
+            if pair not in seen:
+                seen.add(pair)
+                same.append(pair)
+        diff, seen = [], set()
+        tries = 0
         while len(diff) < nrof_pairs:
+            tries += 1
+            if tries > max_tries:
+                raise ValueError(
+                    f'cannot draw {nrof_pairs} distinct different-identity '
+                    f'pairs from a fold group of {len(group_names)} '
+                    'identities')
             a, b = rng.choice(len(group_names), size=2, replace=False)
             a, b = sorted((group_names[a], group_names[b]))
-            diff.append((a, str(pick(a)), b, str(pick(b))))
+            pair = (a, str(pick(a)), b, str(pick(b)))
+            if pair not in seen:
+                seen.add(pair)
+                diff.append(pair)
         pairs += same + diff
 
     if output is not None:
@@ -233,6 +264,11 @@ class LfwValidation:
 
     THRESHOLD_RANGE = {0: 4.0, 1: np.pi}
     NROF_THRESHOLDS = 400
+    # The FAR-targeted threshold search uses a 10x denser grid, matching
+    # the upstream calculate_val resolution (0.001 steps over [0, 4] ->
+    # 4000 points) so low-FAR targets interpolate on a curve of the same
+    # resolution as the published protocol (ADVICE r4).
+    NROF_FAR_THRESHOLDS = 4000
 
     def __init__(self, embeddings, issame, config=None):
         started = time.monotonic()
@@ -260,6 +296,8 @@ class LfwValidation:
             raise ValueError(f'Undefined similarity metric {self.metric}')
         self.thresholds = np.linspace(
             0, self.THRESHOLD_RANGE[self.metric], self.NROF_THRESHOLDS)
+        self.far_thresholds = np.linspace(
+            0, self.THRESHOLD_RANGE[self.metric], self.NROF_FAR_THRESHOLDS)
 
         self._run_folds()
         self.elapsed_time = time.monotonic() - started
@@ -280,16 +318,29 @@ class LfwValidation:
                               self.metric)
 
     def _rates(self, dist, issame):
-        """(tpr, fpr, accuracy) arrays over the threshold grid."""
+        """(tpr, fpr, accuracy) arrays over the threshold grid.
+
+        Accuracy uses the UNCLAMPED counts — correct / total — so a fold
+        of only-same or only-diff pairs scores exactly as upstream does;
+        the max(..., 1) clamps guard only the tpr/fpr denominators
+        (ADVICE r4).
+        """
         below = dist[:, None] < self.thresholds[None, :]
-        npos = max(int(np.count_nonzero(issame)), 1)
-        nneg = max(int(len(dist) - np.count_nonzero(issame)), 1)
+        npos = int(np.count_nonzero(issame))
+        nneg = len(dist) - npos
         tp = np.count_nonzero(below[issame], axis=0)
         fp = np.count_nonzero(below[~issame], axis=0)
-        tpr = tp / npos
-        fpr = fp / nneg
-        accuracy = (tp + (nneg - fp)) / (npos + nneg)
+        tpr = tp / max(npos, 1)
+        fpr = fp / max(nneg, 1)
+        accuracy = (tp + (nneg - fp)) / max(len(dist), 1)
         return tpr, fpr, accuracy
+
+    def _far_curve(self, dist, issame):
+        """FAR over the DENSE threshold grid (FAR-threshold search)."""
+        neg = dist[~issame]
+        nneg = max(len(neg), 1)
+        below = neg[:, None] < self.far_thresholds[None, :]
+        return np.count_nonzero(below, axis=0) / nneg
 
     def _run_folds(self):
         n = len(self.issame)
@@ -319,11 +370,14 @@ class LfwValidation:
             self.fold_accuracy[fold] = acc_te[best]
 
             # FAR-targeted threshold: interpolate the train-fold FAR curve
-            # (non-decreasing in the threshold), 0 if the target is
-            # unreachable — same convention as FaceToFaceValidation.
-            if np.max(fpr_tr) >= self.far_target:
-                t_far = float(np.interp(self.far_target, fpr_tr,
-                                        self.thresholds))
+            # (non-decreasing in the threshold) on the DENSE grid, 0 if
+            # the target is unreachable — same convention as
+            # FaceToFaceValidation, same resolution as upstream
+            # calculate_val.
+            far_tr = self._far_curve(dist[train_idx], self.issame[train_idx])
+            if np.max(far_tr) >= self.far_target:
+                t_far = float(np.interp(self.far_target, far_tr,
+                                        self.far_thresholds))
             else:
                 t_far = 0.0
             test_same = self.issame[test_idx]

@@ -135,8 +135,14 @@ def _read_pairs(h5file):
     pairs = {}
     for name in names:
         scope_path = name[:-len('/weights')]
-        if scope_path.split('/', 1)[0] == 'checkpoint':
-            continue   # activation dumps, not weights (ref tfutils.py:165-192)
+        # A real export_h5 file carries BOTH a top-level 'checkpoint/'
+        # group (input/output/config tensors, ref tfutils.py:170-184) and
+        # per-unit '<path>/checkpoint/input|output' activation dumps
+        # (ref tfutils.py:186-195) alongside the weight pairs — skip any
+        # dataset under a checkpoint group at either level.
+        segments = scope_path.split('/')
+        if segments[0] == 'checkpoint' or 'checkpoint' in segments:
+            continue
         pairs[scope_path] = (h5utils.read(h5file, name),
                              h5utils.read(h5file, scope_path + '/biases'))
     if not pairs:

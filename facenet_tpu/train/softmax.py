@@ -270,6 +270,45 @@ class SoftmaxTrainer:
         )
 
     # ------------------------------------------------------------------
+    def warm_start(self, state, variables):
+        """Graft pretrained BACKBONE variables into a fresh train state.
+
+        The reference fine-tunes from a pretrained checkpoint (README
+        "Pre-trained models" + train_softmax's pretrained_model option
+        upstream); here the source is a serving bundle or an imported
+        reference-h5 tree (models/import_weights.py) — {'params',
+        'batch_stats'} of the backbone only. The classifier head,
+        optimizer state and centers stay freshly initialized; imported
+        identity BN stats are re-estimated from data as training runs.
+
+        Leaves are placed with each target leaf's existing sharding, so a
+        warm-started state is exactly as mesh-placed as `init_state`'s.
+        Raises on any shape mismatch (topology/config drift fails loudly).
+        """
+        variables = unfreeze(variables)
+
+        def graft(path, old, new):
+            old_np, new_np = np.asarray(old), np.asarray(new)
+            if old_np.shape != new_np.shape:
+                name = '/'.join(str(getattr(k, 'key', k)) for k in path)
+                raise ValueError(
+                    f'warm_start shape mismatch at backbone/{name}: '
+                    f'state {old_np.shape} vs weights {new_np.shape}')
+            return jax.device_put(new_np.astype(old_np.dtype), old.sharding)
+
+        params = unfreeze(state.params)
+        params['backbone'] = jax.tree_util.tree_map_with_path(
+            graft, params['backbone'], variables['params'])
+        batch_stats = unfreeze(state.batch_stats)
+        batch_stats['backbone'] = jax.tree_util.tree_map_with_path(
+            graft, batch_stats['backbone'], variables['batch_stats'])
+        return state.replace(params=freeze(params) if not
+                             isinstance(state.params, dict) else params,
+                             batch_stats=freeze(batch_stats) if not
+                             isinstance(state.batch_stats, dict)
+                             else batch_stats)
+
+    # ------------------------------------------------------------------
     @property
     def step_fn(self):
         if self._step_fn is None:

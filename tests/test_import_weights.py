@@ -116,3 +116,64 @@ def test_import_is_complete_both_ways(tmp_path):
                           data=np.zeros((3,), np.float32))
     with pytest.raises(KeyError, match='NoSuchLayer'):
         import_h5_weights(h5b, config=TINY)
+
+
+def test_full_model_scope_set_matches_tfslim_fixture():
+    """The walker's tf-slim scope reconstruction is pinned against a
+    STATIC fixture of the complete upstream scope set (133 units,
+    tests/fixtures/irv1_tfslim_scopes.txt) — a transposed branch name or
+    Repeat numbering drift vs the real upstream graph now fails here
+    instead of on the first real h5 file (VERDICT r4 next #3)."""
+    from pathlib import Path
+
+    fixture = Path(__file__).parent / 'fixtures' / 'irv1_tfslim_scopes.txt'
+    expected = [line.strip() for line in fixture.read_text().splitlines()
+                if line.strip() and not line.startswith('#')]
+    assert len(expected) == 133
+
+    model = create_model()          # FULL default IRv1
+    variables = jax.eval_shape(lambda: model.init(
+        jax.random.PRNGKey(0), np.zeros((1, 160, 160, 3), np.uint8),
+        train=False))
+    got = sorted(s for s, _, _ in iter_units(dict(variables['params'])))
+    assert got == sorted(expected), (
+        'iter_units diverges from the upstream tf-slim scope set: '
+        f'missing={sorted(set(expected) - set(got))[:5]} '
+        f'extra={sorted(set(got) - set(expected))[:5]}')
+
+
+def test_import_tolerates_real_export_h5_layout(tmp_path):
+    """A real export_h5 file carries the weight pairs PLUS a top-level
+    'checkpoint/' group (input/output/config tensors with ':0' in their
+    names, ref tfutils.py:170-184) and per-unit
+    '<path>/checkpoint/input|output' activation dumps (tfutils.py:186-195)
+    in ONE file. Import must ignore both and produce exactly the clean
+    import (VERDICT r4 next #3)."""
+    from facenet_tpu import h5utils
+
+    _, variables = _randomized_variables()
+    clean = tmp_path / 'clean.h5'
+    export_ref_h5(variables, clean)
+    real = tmp_path / 'real_layout.h5'
+    export_ref_h5(variables, real)
+
+    # top-level checkpoint group (names keep the tf ':0' suffixes)
+    h5utils.write(real, 'checkpoint/input:0',
+                  np.zeros((5, 160, 160, 3), np.uint8))
+    h5utils.write(real, 'checkpoint/embeddings:0', np.zeros((5, 32)))
+    h5utils.write(real, 'checkpoint/image_size:0',
+                  np.array([160, 160], np.uint8))
+    # per-unit activation dumps under the model scope
+    for scope in ('InceptionResnetV1/Conv2d_1a_3x3',
+                  'InceptionResnetV1/Repeat/block35_1/Branch_0/Conv2d_1x1',
+                  'InceptionResnetV1/Bottleneck'):
+        h5utils.write(real, f'{scope}/checkpoint/input', np.zeros((2, 3)))
+        h5utils.write(real, f'{scope}/checkpoint/output', np.zeros((2, 3)))
+
+    got = import_h5_weights(real, TINY)
+    want = import_h5_weights(clean, TINY)
+    flat_got = jax.tree_util.tree_leaves(got)
+    flat_want = jax.tree_util.tree_leaves(want)
+    assert len(flat_got) == len(flat_want)
+    for a, b in zip(flat_got, flat_want):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -154,9 +154,15 @@ def test_generate_pairs_too_few_identities(tmp_path):
 # fold protocol vs a naive loop oracle
 # ---------------------------------------------------------------------------
 
-def _oracle(emb1, emb2, issame, nrof_folds, thresholds, far_target):
+def _oracle(emb1, emb2, issame, nrof_folds, thresholds, far_target,
+            far_thresholds=None):
     """Straight-line reimplementation with python loops (no vectorized
-    threshold matrix, no shared helpers) to cross-check LfwValidation."""
+    threshold matrix, no shared helpers) to cross-check LfwValidation.
+
+    The FAR-threshold search runs on its own (denser) grid, as the
+    protocol does (`far_thresholds`; defaults to `thresholds`)."""
+    if far_thresholds is None:
+        far_thresholds = thresholds
     dist = np.array([float(np.sum((a - b) ** 2))
                      for a, b in zip(emb1, emb2)])
     blocks = np.array_split(np.arange(len(issame)), nrof_folds)
@@ -166,20 +172,19 @@ def _oracle(emb1, emb2, issame, nrof_folds, thresholds, far_target):
                               if i not in set(test_idx.tolist())])
         # best train threshold by accuracy
         best_t, best_acc = None, -1.0
-        far_curve = []
         for t in thresholds:
             correct = sum((dist[i] < t) == issame[i] for i in train_idx)
             a = correct / len(train_idx)
-            neg = [i for i in train_idx if not issame[i]]
-            fa = (sum(dist[i] < t for i in neg) / len(neg)) if neg else 0.0
-            far_curve.append(fa)
             if a > best_acc:
                 best_acc, best_t = a, t
         correct = sum((dist[i] < best_t) == issame[i] for i in test_idx)
         acc.append(correct / len(test_idx))
 
+        neg = [i for i in train_idx if not issame[i]]
+        far_curve = [(sum(dist[i] < t for i in neg) / len(neg)) if neg
+                     else 0.0 for t in far_thresholds]
         if max(far_curve) >= far_target:
-            t_far = float(np.interp(far_target, far_curve, thresholds))
+            t_far = float(np.interp(far_target, far_curve, far_thresholds))
         else:
             t_far = 0.0
         pos = [i for i in test_idx if issame[i]]
@@ -207,7 +212,8 @@ def test_fold_protocol_matches_oracle():
     report = lfw.LfwValidation(embeddings, issame,
                                {'nrof_folds': 4, 'far_target': 0.1})
     acc, val, far = _oracle(emb1, emb2, issame, nrof_folds=4,
-                            thresholds=report.thresholds, far_target=0.1)
+                            thresholds=report.thresholds, far_target=0.1,
+                            far_thresholds=report.far_thresholds)
 
     np.testing.assert_allclose(report.fold_accuracy, acc, atol=1e-12)
     np.testing.assert_allclose(report.fold_val, val, atol=1e-12)
@@ -361,3 +367,105 @@ def test_validate_on_lfw_app(tmp_path):
     assert 'embeddings: (16, 64)' in text
     assert (outdir / 'validate_on_lfw.h5').exists()
     assert (outdir / 'revision_info.txt').exists()
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r4 regressions
+# ---------------------------------------------------------------------------
+
+def test_read_pairs_header_after_blank_lines(tmp_path):
+    """A leading blank line must not hide the header (ADVICE r4)."""
+    f = tmp_path / 'pairs.txt'
+    f.write_text('\n\n1 1\nAlice_A\t1\t2\nAlice_A\t1\tBob_B\t2\n')
+    pairs = lfw.read_pairs(f)
+    assert len(pairs) == 2
+    assert pairs[0] == ('Alice_A', '1', '2')
+
+
+def test_rates_single_kind_fold_accuracy_unclamped():
+    """A fold of only-same (or only-diff) pairs scores correct/total, not
+    the clamped (tp+1)/(n+1) distortion (ADVICE r4)."""
+    emb1, emb2, issame = _random_pairs(n_pairs=12)
+    embeddings = np.stack([emb1, emb2], axis=1).reshape(-1, emb1.shape[1])
+    report = lfw.LfwValidation(embeddings, issame, {'nrof_folds': 3})
+
+    dist = np.array([0.5, 1.5, 2.5])
+    below = dist[:, None] < report.thresholds[None, :]
+
+    # only-same fold: accuracy at each threshold is (#below)/3
+    _, _, acc = report._rates(dist, np.ones(3, bool))
+    np.testing.assert_allclose(acc, below.sum(axis=0) / 3)
+    # only-diff fold: accuracy is (#not-below)/3
+    _, _, acc = report._rates(dist, np.zeros(3, bool))
+    np.testing.assert_allclose(acc, (3 - below.sum(axis=0)) / 3)
+
+
+def test_far_threshold_search_uses_dense_grid():
+    emb1, emb2, issame = _random_pairs()
+    embeddings = np.stack([emb1, emb2], axis=1).reshape(-1, emb1.shape[1])
+    report = lfw.LfwValidation(embeddings, issame,
+                               {'nrof_folds': 4, 'far_target': 0.013})
+    assert len(report.far_thresholds) == lfw.LfwValidation.NROF_FAR_THRESHOLDS
+    assert len(report.far_thresholds) == 10 * len(report.thresholds)
+    # the picked thresholds must land off the coarse grid when the target
+    # needs sub-coarse-step resolution
+    acc, val, far = _oracle(emb1, emb2, issame, nrof_folds=4,
+                            thresholds=report.thresholds, far_target=0.013,
+                            far_thresholds=report.far_thresholds)
+    np.testing.assert_allclose(report.fold_val, val, atol=1e-12)
+    np.testing.assert_allclose(report.fold_far, far, atol=1e-12)
+
+
+def test_generate_pairs_unique(tmp_path):
+    from PIL import Image
+    root = tmp_path / 'ds'
+    rng = np.random.RandomState(0)
+    for c in range(8):
+        d = root / f'id_{c}'
+        d.mkdir(parents=True)
+        for i in range(1, 5):
+            Image.fromarray(rng.randint(0, 255, (8, 8, 3)).astype(
+                np.uint8)).save(d / f'id_{c}_{i:04d}.png')
+    pairs = lfw.generate_pairs(root, nrof_folds=2, nrof_pairs=6, seed=0)
+    same = [p for p in pairs if len(p) == 3]
+    diff = [p for p in pairs if len(p) == 4]
+    assert len(set(same)) == len(same) == 12
+    assert len(set(diff)) == len(diff) == 12
+
+
+def test_generate_pairs_impossible_uniqueness_raises(tmp_path):
+    from PIL import Image
+    root = tmp_path / 'ds'
+    rng = np.random.RandomState(0)
+    # 4 identities x 2 images: each group of 2 identities supplies at most
+    # 1 distinct same-pair per identity = 2 total < the 6 requested
+    for c in range(4):
+        d = root / f'id_{c}'
+        d.mkdir(parents=True)
+        for i in range(1, 3):
+            Image.fromarray(rng.randint(0, 255, (8, 8, 3)).astype(
+                np.uint8)).save(d / f'id_{c}_{i:04d}.png')
+    with pytest.raises(ValueError, match='distinct'):
+        lfw.generate_pairs(root, nrof_folds=2, nrof_pairs=6, seed=0)
+
+
+def test_validate_on_lfw_preparer_expands_user(tmp_path, monkeypatch):
+    """The preparer must expanduser() dataset.path and dataset.pairs so
+    the shipped '~/...' defaults resolve (ADVICE r4, medium)."""
+    import yaml as _yaml
+    from facenet_tpu import config as config_mod
+
+    home = tmp_path / 'home'
+    (home / 'datasets' / 'lfw_aligned').mkdir(parents=True)
+    monkeypatch.setenv('HOME', str(home))
+
+    cfg_file = tmp_path / 'lfw.yaml'
+    cfg_file.write_text(_yaml.safe_dump({
+        'dataset': {'path': '~/datasets/lfw_aligned',
+                    'pairs': '~/datasets/pairs.txt'},
+        'model': {'path': str(tmp_path / 'bundle')},
+    }))
+    cfg = config_mod.validate_on_lfw(cfg_file, {'config': str(cfg_file)})
+    assert '~' not in str(cfg.dataset.path)
+    assert str(cfg.dataset.path) == str(home / 'datasets' / 'lfw_aligned')
+    assert str(cfg.dataset.pairs) == str(home / 'datasets' / 'pairs.txt')

@@ -338,3 +338,54 @@ def test_dryrun_multichip_subprocess():
         cwd=repo, env=env, capture_output=True, text=True, timeout=900)
     assert out.returncode == 0, out.stderr[-2000:]
     assert 'loss=' in out.stdout, out.stdout
+
+
+def test_warm_start_from_bundle(trainer_and_state):
+    """model.weights fine-tune path (RUNBOOK.md §D): backbone params and
+    batch_stats graft in with shardings preserved; the classifier head,
+    optimizer state and step stay fresh; shape mismatches fail loudly."""
+    from facenet_tpu.models.inception_resnet_v1 import InceptionResnetV1
+
+    trainer, state = trainer_and_state
+    model = InceptionResnetV1(config=TINY_MODEL)
+    variables = model.init(jax.random.PRNGKey(7),
+                           np.zeros((1, 160, 160, 3), np.uint8), train=False)
+
+    head_before = np.asarray(state.params['logits']['kernel'])
+    warm = trainer.warm_start(state, variables)
+
+    # backbone values grafted exactly
+    def first_leaf(tree):
+        return jax.tree_util.tree_leaves(tree)[0]
+    np.testing.assert_array_equal(
+        np.asarray(first_leaf(warm.params['backbone'])),
+        np.asarray(first_leaf(variables['params'])))
+    got_stats = jax.tree_util.tree_leaves(warm.batch_stats['backbone'])
+    want_stats = jax.tree_util.tree_leaves(variables['batch_stats'])
+    assert len(got_stats) == len(want_stats)
+    for a, b in zip(got_stats, want_stats):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # head untouched, step fresh, shardings preserved
+    np.testing.assert_array_equal(
+        np.asarray(warm.params['logits']['kernel']), head_before)
+    assert int(warm.step) == 0
+    assert (warm.params['logits']['kernel'].sharding ==
+            state.params['logits']['kernel'].sharding)
+    assert (first_leaf(warm.params['backbone']).sharding ==
+            first_leaf(state.params['backbone']).sharding)
+
+    # one train step runs from the warm state
+    batch, labels = synthetic_batches(1)[0]
+    batch_shard = mesh_mod.batch_sharding(trainer.mesh)
+    new_state, metrics = trainer.step_fn(
+        warm, jax.device_put(batch, batch_shard),
+        jax.device_put(labels, batch_shard))
+    assert np.isfinite(float(metrics['loss']))
+
+    # topology drift fails loudly
+    other = InceptionResnetV1(config={**TINY_MODEL, 'output': {'size': 16}})
+    bad = other.init(jax.random.PRNGKey(0),
+                     np.zeros((1, 160, 160, 3), np.uint8), train=False)
+    with pytest.raises(ValueError, match='shape mismatch'):
+        trainer.warm_start(new_state, bad)
