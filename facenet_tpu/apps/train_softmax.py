@@ -132,8 +132,16 @@ def run(cfg):
     pipeline = train_batches(start_state=data_state)
     batches_iter = iter(pipeline)
 
+    # late-phase frozen-BN schedule: from this (0-based) epoch on, the
+    # forward normalizes with running BN stats (train/softmax.py
+    # frozen_bn) — 0 is a valid setting, so no `or`-defaulting
+    freeze_bn_epoch = config.value_or(cfg.train.freeze_bn_epoch, None)
+
     for epoch in range(max_epochs):
-        state, metrics = trainer.train_epoch(state, batches_iter, epoch)
+        frozen = (freeze_bn_epoch is not None
+                  and epoch >= int(freeze_bn_epoch))
+        state, metrics = trainer.train_epoch(state, batches_iter, epoch,
+                                             frozen_bn=frozen)
         print(f'epoch [{epoch + 1}/{max_epochs}] ' +
               ' '.join(f'{k}={v:.4f}' for k, v in metrics.items()))
         ioutils.write_text_log(

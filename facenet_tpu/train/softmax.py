@@ -74,7 +74,7 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_train_step(model, tx, loss_cfg, augment_cfg=None, image_size=160,
-                    remat=False):
+                    remat=False, frozen_bn=False):
     """Build the jitted train step closure.
 
     Returns step(state, images, labels) -> (state, metrics).
@@ -82,6 +82,13 @@ def make_train_step(model, tx, loss_cfg, augment_cfg=None, image_size=160,
     recomputes activations instead of keeping them in HBM — trades ~1/3 more
     FLOPs for the activation memory of the whole backbone (enables larger
     per-chip batches).
+
+    With frozen_bn=True the forward normalizes with the RUNNING BN
+    statistics (train=False semantics, batch_stats untouched) while
+    params still train — the late-phase schedule that removes the
+    train-BN activation passes (the +17.6 ms structural floor measured
+    in tools/profile_train.py; VERDICT r4 next #5). The model has no
+    dropout, so train=False changes BN behavior only.
     """
     center_factor = float(loss_cfg.center_factor or 0.0)
     center_alfa = float(loss_cfg.center_alfa or 0.95)
@@ -96,6 +103,10 @@ def make_train_step(model, tx, loss_cfg, augment_cfg=None, image_size=160,
     random_flip = bool(augment_cfg.random_flip) if augment_cfg else False
 
     def apply_fn(params, batch_stats, images, rng):
+        if frozen_bn:
+            out = model.apply({'params': params, 'batch_stats': batch_stats},
+                              images, train=False)
+            return out, {'batch_stats': batch_stats}
         return model.apply(
             {'params': params, 'batch_stats': batch_stats},
             images, train=True, mutable=['batch_stats'], rngs={'dropout': rng})
@@ -319,6 +330,19 @@ class SoftmaxTrainer:
             self._step_fn = jax.jit(raw, donate_argnums=(0,))
         return self._step_fn
 
+    @property
+    def frozen_bn_step_fn(self):
+        """Late-phase step: running-BN-stats forward (see make_train_step
+        frozen_bn); jitted lazily so runs that never freeze pay nothing."""
+        if getattr(self, '_frozen_step_fn', None) is None:
+            raw = make_train_step(self.model, self.tx, self.cfg.loss,
+                                  augment_cfg=self.cfg.image,
+                                  image_size=self.image_size,
+                                  remat=bool(self.cfg.train.remat),
+                                  frozen_bn=True)
+            self._frozen_step_fn = jax.jit(raw, donate_argnums=(0,))
+        return self._frozen_step_fn
+
     def _placed_batches(self, batches, batch_shard, prefetch):
         """Yield (global_batch_size, device_images, device_labels) with up
         to `prefetch` batches' host->device transfers in flight ahead of
@@ -355,8 +379,13 @@ class SoftmaxTrainer:
         while queue:
             yield queue.popleft()
 
-    def train_epoch(self, state, batches, epoch, log_every=100):
-        """One epoch over an iterable of (images, labels) host batches."""
+    def train_epoch(self, state, batches, epoch, log_every=100,
+                    frozen_bn=False):
+        """One epoch over an iterable of (images, labels) host batches.
+
+        :param frozen_bn: run this epoch with running-BN-stats forwards
+            (cfg.train.freeze_bn_epoch wiring in apps/train_softmax.py)
+        """
         from facenet_tpu.config import value_or
         from facenet_tpu.utils import profiling
 
@@ -392,8 +421,9 @@ class SoftmaxTrainer:
                 jax_profiler.start_trace(trace_dir)
                 tracing = True
             timer.items_per_step = size
+            step = self.frozen_bn_step_fn if frozen_bn else self.step_fn
             with timer:
-                state, metrics = self.step_fn(state, images, labels)
+                state, metrics = step(state, images, labels)
             n += 1
             if tracing and n >= trace_start + trace_steps:
                 from jax import profiler as jax_profiler

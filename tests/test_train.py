@@ -389,3 +389,38 @@ def test_warm_start_from_bundle(trainer_and_state):
                      np.zeros((1, 160, 160, 3), np.uint8), train=False)
     with pytest.raises(ValueError, match='shape mismatch'):
         trainer.warm_start(new_state, bad)
+
+
+def test_frozen_bn_step_trains_params_not_stats(trainer_and_state):
+    """Late-phase frozen-BN schedule (cfg.train.freeze_bn_epoch): the
+    frozen step must leave batch_stats bit-identical while params still
+    update; VERDICT r4 next #5's step-time experiment rides on this."""
+    trainer, state = trainer_and_state
+    batch, labels = synthetic_batches(1)[0]
+    batch_shard = mesh_mod.batch_sharding(trainer.mesh)
+    imgs = jax.device_put(batch, batch_shard)
+    labs = jax.device_put(labels, batch_shard)
+
+    stats_before = [np.asarray(x) for x in
+                    jax.tree_util.tree_leaves(state.batch_stats)]
+    params_before = np.asarray(
+        jax.tree_util.tree_leaves(state.params)[0])
+
+    new_state, metrics = trainer.frozen_bn_step_fn(state, imgs, labs)
+    assert np.isfinite(float(metrics['loss']))
+    assert int(new_state.step) == 1
+
+    stats_after = [np.asarray(x) for x in
+                   jax.tree_util.tree_leaves(new_state.batch_stats)]
+    for a, b in zip(stats_before, stats_after):
+        np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(
+        params_before,
+        np.asarray(jax.tree_util.tree_leaves(new_state.params)[0]))
+
+    # the regular step (same trainer) must still mutate stats
+    state2, _ = trainer.step_fn(new_state, imgs, labs)
+    stats2 = [np.asarray(x) for x in
+              jax.tree_util.tree_leaves(state2.batch_stats)]
+    assert any(not np.array_equal(a, b)
+               for a, b in zip(stats_after, stats2))

@@ -82,6 +82,10 @@ def main():
                     help='fixed-pairs protocol pairs per fold per kind '
                          '(10 folds; 300 = the 6,000-pair LFW geometry). '
                          '0 disables the stage.')
+    ap.add_argument('--freeze-bn-epoch', type=int, default=None,
+                    help='0-based epoch from which BN stats freeze '
+                         '(late-phase frozen-BN schedule; VERDICT r4 #5 '
+                         'step-time/accuracy experiment)')
     ap.add_argument('--hard', action='store_true',
                     help='de-saturated benchmark mode: family-overlapped '
                          'identities + heavy per-image nuisance '
@@ -136,6 +140,8 @@ def main():
                 [max(args.epochs - 6, 1), 0.05],
                 [max(args.epochs - 3, 2), 0.005],
                 [args.epochs, 0.0005]]},
+            **({'freeze_bn_epoch': args.freeze_bn_epoch}
+               if args.freeze_bn_epoch is not None else {}),
         },
         'loss': {'center_alfa': 0.95, 'center_factor': args.center_loss},
         'validate': {

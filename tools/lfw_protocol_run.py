@@ -148,7 +148,13 @@ def main():
 
     # 1. LFW-shaped tree ------------------------------------------------
     if not tree.exists() or not any(tree.glob('*/*.png')):
-        counts = lfw_shape_counts(args.identities, args.images)
+        # scale the multi-image tail / heaviest identity down with the
+        # requested size (smoke tests); full scale keeps the LFW profile
+        frac = min(args.identities / 5749, 1.0)
+        counts = lfw_shape_counts(
+            args.identities, args.images,
+            n_multi=max(int(1680 * frac), min(args.identities // 2, 10)),
+            heaviest=max(int(530 * frac), 4))
         print(f'rendering LFW-shaped tree: {args.identities} identities / '
               f'{args.images} images (max {counts.max()}, '
               f'{int((counts > 1).sum())} multi-image) -> {tree}')
@@ -179,11 +185,15 @@ def main():
               '(tools/e2e_evidence_run.py flow)...')
         import subprocess
         run_root = data_root / 'train_run'
+        # smaller eval set: its class-protocol validation is not the
+        # artifact here (the committed evidence runs cover that); the
+        # training recipe itself is the standard hard-mode one
         rc = subprocess.call([
             sys.executable, str(Path(__file__).parent /
                                 'e2e_evidence_run.py'),
             '--hard', '--data-dir', str(data_root / 'train_data'),
-            '--out', str(run_root), '--lfw-pairs', '0'])
+            '--out', str(run_root), '--lfw-pairs', '0',
+            '--eval-classes', '80', '--eval-images-per-class', '25'])
         if rc:
             raise SystemExit(f'training failed rc={rc}')
         runs = sorted((data_root / 'train_data' / 'run').glob('*'))

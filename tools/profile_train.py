@@ -116,9 +116,10 @@ def main():
     def bwd_full(state):
         return _bwd(state, with_extras=True)
 
-    def make_full(remat):
+    def make_full(remat, frozen_bn=False):
         step = make_train_step(model, tx, cfg.loss, augment_cfg=cfg.image,
-                               image_size=160, remat=remat)
+                               image_size=160, remat=remat,
+                               frozen_bn=frozen_bn)
 
         def full(state):
             state, metrics = step(state, images, labels)
@@ -132,6 +133,10 @@ def main():
         'bwd_full': bwd_full,
         'full': make_full(False),
         'full_remat': make_full(True),
+        # late-phase frozen-BN schedule (VERDICT r4 next #5): running-BN
+        # forward in the production step — measures how much of the
+        # +17.6 ms train-BN floor the schedule claws back
+        'full_frozen_bn': make_full(False, frozen_bn=True),
     }
     selected = sys.argv[1:] or list(rungs)
 
@@ -196,6 +201,11 @@ def main():
     if 'full' in results and 'bwd_full' in results:
         print(f'Adam update: '
               f'{(results["full"] - results["bwd_full"])*1e3:.1f} ms')
+    if 'full_frozen_bn' in results and 'full' in results:
+        print(f'frozen-BN saves: '
+              f'{(results["full"] - results["full_frozen_bn"])*1e3:.1f} ms '
+              f'({results["full"]/results["full_frozen_bn"]:.2f}x step '
+              'speedup)')
 
 
 if __name__ == '__main__':
