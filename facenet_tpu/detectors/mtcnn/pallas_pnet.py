@@ -641,7 +641,15 @@ def pyramid_plan(flat_geom):
     return plan, in_base, out_base
 
 
-def _make_v4_kernel(plan):
+def _make_v4_kernel(plan, assembly='patch'):
+    """:param assembly: 'patch' — v4 production path (assemble a
+        [9*ci, chunk] patch matrix, one [co, 9*ci] x [9*ci, chunk] dot);
+        'dots' — v5 experiment: NO patch writes, nine accumulated
+        [co, ci] x [ci, chunk] shifted dots straight off the source rows
+        (trades patch-assembly VPU copies for under-filled-K MXU passes);
+        'skip' — timing probe ONLY (wrong numerics): the dot consumes a
+        stale patch buffer, so (patch - skip) isolates the assembly cost.
+    """
     max_seg = max(lv['seg_in'] for lv in plan)
     max_chunk = max(lv['chunk'] for lv in plan)
 
@@ -652,18 +660,34 @@ def _make_v4_kernel(plan):
 
         def body(c, _):
             off = c * chunk
-            for dy in range(3):
-                base = src_ref[0:ci_pad,
-                               pl.ds(src_base + off + dy * drow,
-                                     chunk + 128)]
-                for dx in range(3):
-                    t = dy * 3 + dx
-                    patch_ref[t * ci_pad:(t + 1) * ci_pad, 0:chunk] = \
-                        base[:, dx * dcol:dx * dcol + chunk]
-            z = jax.lax.dot_general(
-                w_ref[...], patch_ref[0:k, 0:chunk],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            if assembly == 'dots':
+                z = jnp.zeros((w_ref.shape[0], chunk), jnp.float32)
+                for dy in range(3):
+                    base = src_ref[0:ci_pad,
+                                   pl.ds(src_base + off + dy * drow,
+                                         chunk + 128)]
+                    for dx in range(3):
+                        t = dy * 3 + dx
+                        z = z + jax.lax.dot_general(
+                            w_ref[:, t * ci_pad:(t + 1) * ci_pad],
+                            base[:, dx * dcol:dx * dcol + chunk],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+            else:
+                if assembly == 'patch':
+                    for dy in range(3):
+                        base = src_ref[0:ci_pad,
+                                       pl.ds(src_base + off + dy * drow,
+                                             chunk + 128)]
+                        for dx in range(3):
+                            t = dy * 3 + dx
+                            patch_ref[t * ci_pad:(t + 1) * ci_pad,
+                                      0:chunk] = \
+                                base[:, dx * dcol:dx * dcol + chunk]
+                z = jax.lax.dot_general(
+                    w_ref[...], patch_ref[0:k, 0:chunk],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
             z = z + b_ref[...]
             z = jnp.where(z >= 0, z, a_ref[...] * z)
             z = z.astype(jnp.bfloat16)
@@ -718,9 +742,9 @@ def _make_v4_kernel(plan):
     return kernel, max_seg, max_chunk
 
 
-@partial(jax.jit, static_argnames=('flat_geom', 'interpret'))
+@partial(jax.jit, static_argnames=('flat_geom', 'interpret', 'assembly'))
 def _v4_run(planes_concat, w1, b1, a1, w2, b2, a2, w3, b3, a3, wh, bh,
-            flat_geom, interpret=False):
+            flat_geom, interpret=False, assembly='patch'):
     """[B, 3, total_in] concatenated level planes -> per-level heads.
 
     :param flat_geom: static tuple of (sh, sw_pad, true_sw) per level
@@ -741,7 +765,7 @@ def _v4_run(planes_concat, w1, b1, a1, w2, b2, a2, w3, b3, a3, wh, bh,
         masks.append(((yy < lv['h1']) & (xx < w1v)).astype(jnp.bfloat16))
     m1 = jnp.concatenate(masks).reshape(1, total_in)
 
-    kernel, max_seg, max_chunk = _make_v4_kernel(plan)
+    kernel, max_seg, max_chunk = _make_v4_kernel(plan, assembly=assembly)
     weights = (w1, b1, a1, w2, b2, a2, w3, b3, a3, wh, bh)
     vspec = [pl.BlockSpec(w.shape, lambda bb, n=w.ndim: (0,) * n,
                           memory_space=pltpu.VMEM) for w in weights]
@@ -785,14 +809,17 @@ def _v4_run(planes_concat, w1, b1, a1, w2, b2, a2, w3, b3, a3, wh, bh,
     return results
 
 
-def pnet_forward_pyramid(packed, planes_concat, flat_geom, interpret=False):
+def pnet_forward_pyramid(packed, planes_concat, flat_geom, interpret=False,
+                         assembly='patch'):
     """Cascade-facing wrapper: ALL levels' planes, one kernel dispatch.
 
     :param packed: pack_v3(params['pnet']) output (same packing as v3)
     :param planes_concat: [B, 3, total_in] per `pyramid_plan(flat_geom)`
         segment layout (zero-padded between levels)
+    :param assembly: see _make_v4_kernel ('patch' production, 'dots' the
+        v5 shifted-dot experiment, 'skip' the assembly-cost probe)
     :returns: per-level [(probs, reg)] matching the flax path's contract
     """
     return _v4_run(planes_concat, *[packed[k] for k in V3_KEYS],
                    flat_geom=tuple(tuple(g) for g in flat_geom),
-                   interpret=interpret)
+                   interpret=interpret, assembly=assembly)

@@ -138,9 +138,11 @@ def test_cascade_flat_matches_flax_on_scene():
 # ---------------------------------------------------------------------------
 
 @pytest.mark.slow
-def test_v4_pyramid_matches_flax(pnet_params):
+@pytest.mark.parametrize('assembly', ['patch', 'dots'])
+def test_v4_pyramid_matches_flax(pnet_params, assembly):
     """The fused all-levels kernel must agree with the flax P-Net on every
-    level of a small pyramid, with garbage between segments."""
+    level of a small pyramid, with garbage between segments — both the
+    production patch-matrix path and the v5 shifted-dots variant."""
     net, params = pnet_params
     flat_geom = []
     levels = []
@@ -166,7 +168,8 @@ def test_v4_pyramid_matches_flax(pnet_params):
 
     packed = pallas_pnet.pack_v3(params)
     heads = pallas_pnet.pnet_forward_pyramid(packed, concat, flat_geom,
-                                             interpret=True)
+                                             interpret=True,
+                                             assembly=assembly)
     assert len(heads) == len(levels)
     for (xn, _), (p_new, r_new) in zip(levels, heads):
         p_ref, r_ref = net.apply({'params': params}, xn)
