@@ -98,8 +98,8 @@ def run(cfg):
     # reference-h5 weights (fine-tune-from-pretrained, RUNBOOK.md §D);
     # a checkpoint restore below overrides it when both are given
     if cfg.model.weights:
-        from facenet_tpu import export
-        bundle = export.load_model(cfg.model.weights)
+        from facenet_tpu.export import load_model
+        bundle = load_model(cfg.model.weights)
         state = trainer.warm_start(state, bundle.variables)
         print(f'Warm-started backbone from {cfg.model.weights}')
 

@@ -159,7 +159,8 @@ class MTCNN:
         if pnet_impl == 'auto':
             pnet_impl = 'flax'
         if pnet_impl not in ('flat', 'flax', 'flat-interpret',
-                             'pyramid', 'pyramid-interpret'):
+                             'pyramid', 'pyramid-interpret',
+                             'pyramid-dots', 'pyramid-skip'):
             raise ValueError(f'unknown pnet_impl {pnet_impl!r}')
         self.pnet_impl = pnet_impl
         # per-level 128-padded widths + padded H-resize matrices for the
@@ -293,9 +294,15 @@ class MTCNN:
                 planes, ((0, 0), (0, 0), (0, lv['seg_in'] - sh * sw_pad))))
         planes_concat = jnp.concatenate(segments, axis=2)
 
+        # 'pyramid-dots' = v5 shifted-dot assembly experiment;
+        # 'pyramid-skip' = assembly-cost timing probe (WRONG numerics,
+        # benchmarking only — see pallas_pnet._make_v4_kernel)
+        assembly = {'pyramid-dots': 'dots',
+                    'pyramid-skip': 'skip'}.get(self.pnet_impl, 'patch')
         heads = pnet_forward_pyramid(
             packed, planes_concat, self._flat_geom,
-            interpret=self.pnet_impl == 'pyramid-interpret')
+            interpret=self.pnet_impl == 'pyramid-interpret',
+            assembly=assembly)
         return [self._pnet_select(probs, reg, level)
                 for level, (probs, reg) in enumerate(heads)]
 

@@ -30,7 +30,10 @@ images = jax.device_put(rng.randint(0, 256, (16, 480, 640, 3), np.uint8))
 import sys
 batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 images = jax.device_put(rng.randint(0, 256, (batch, 480, 640, 3), np.uint8))
-for impl in ('flax', 'pyramid'):
+# argv[2]: comma-separated impls, e.g. flax,pyramid,pyramid-dots,pyramid-skip
+# ('pyramid-skip' is the assembly-cost probe — WRONG numerics, timing only)
+impls = sys.argv[2].split(',') if len(sys.argv) > 2 else ('flax', 'pyramid')
+for impl in impls:
     det = MTCNN(image_shape=(480, 640), params=params, pnet_impl=impl)
     def full(x, det=det):
         out = det._detect(det.params, x)
