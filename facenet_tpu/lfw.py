@@ -294,14 +294,37 @@ class LfwValidation:
         self.subtract_mean = bool(get('subtract_mean', False))
         if self.metric not in self.THRESHOLD_RANGE:
             raise ValueError(f'Undefined similarity metric {self.metric}')
-        self.thresholds = np.linspace(
-            0, self.THRESHOLD_RANGE[self.metric], self.NROF_THRESHOLDS)
-        self.far_thresholds = np.linspace(
-            0, self.THRESHOLD_RANGE[self.metric], self.NROF_FAR_THRESHOLDS)
+        # Threshold grids cover [0, range] at the upstream step — but
+        # non-unit embeddings (flip-concat doubles norm^2 to 2, so
+        # metric-0 distances reach 8; `normalization: false` models are
+        # unbounded) overflow the fixed range and would truncate the ROC
+        # (observed: AUC ~0.5 / EER fail at accuracy 0.986). Extend the
+        # grid at the SAME step to cover the observed distances; for unit
+        # embeddings this is exactly the upstream 0..4 grid.
+        base_range = self.THRESHOLD_RANGE[self.metric]
+        top = base_range
+        if self.metric == 0 and len(embeddings):
+            observed = float(np.max(pair_distances(
+                embeddings[0::2], embeddings[1::2], 0)))
+            # unit embeddings never exceed 4 (up to float noise)
+            if observed > base_range * (1 + 1e-9):
+                top = observed * 1.05
+        self.thresholds = self._grid(top, base_range, self.NROF_THRESHOLDS)
+        self.far_thresholds = self._grid(top, base_range,
+                                         self.NROF_FAR_THRESHOLDS)
 
         self._run_folds()
         self.elapsed_time = time.monotonic() - started
         logger.info(str(self))
+
+    @staticmethod
+    def _grid(top, base_range, n_base):
+        """[0, top] at the step of an n_base-point grid over base_range —
+        identical to linspace(0, base_range, n_base) when top == base_range
+        (pair emb1/emb2 rows already split when this runs)."""
+        step = base_range / (n_base - 1)
+        n = int(np.ceil(top / step)) + 1
+        return np.arange(n) * step
 
     # -- protocol ----------------------------------------------------------
 

@@ -469,3 +469,35 @@ def test_validate_on_lfw_preparer_expands_user(tmp_path, monkeypatch):
     assert '~' not in str(cfg.dataset.path)
     assert str(cfg.dataset.path) == str(home / 'datasets' / 'lfw_aligned')
     assert str(cfg.dataset.pairs) == str(home / 'datasets' / 'pairs.txt')
+
+
+def test_flip_concat_embeddings_get_full_roc():
+    """Flip-concatenated embeddings (norm^2 = 2, metric-0 distances up to
+    8) must not truncate the threshold grid: separable pairs score
+    AUC ~1 / EER ~0 instead of the broken AUC ~0.5 / EER -1 a 0..4 grid
+    produced (found on the round-5 protocol-scale run)."""
+    rng = np.random.RandomState(4)
+    n = 60
+    issame = rng.rand(n) < 0.5
+    anchors = rng.randn(n, 8)
+    anchors /= np.linalg.norm(anchors, axis=1, keepdims=True)
+    e1 = anchors
+    e2 = np.where(issame[:, None], anchors, -anchors)
+    # flip-concat style: two unit halves -> norm^2 == 2, diff dist up to 8
+    c1 = np.concatenate([e1, e1], axis=1)
+    c2 = np.concatenate([e2, e2], axis=1)
+    dist_max = np.max(np.sum((c1 - c2) ** 2, axis=1))
+    assert dist_max > 4.0
+
+    embeddings = np.stack([c1, c2], axis=1).reshape(-1, 16)
+    report = lfw.LfwValidation(embeddings, issame, {'nrof_folds': 5})
+    assert report.thresholds[-1] >= dist_max
+    assert report.accuracy == 1.0
+    assert report.auc == pytest.approx(1.0, abs=1e-6)
+    assert report.eer == pytest.approx(0.0, abs=1e-6)
+    # unit embeddings keep the exact upstream 0..4 grid
+    unit = np.stack([e1, e2], axis=1).reshape(-1, 8)
+    r2 = lfw.LfwValidation(unit, issame, {'nrof_folds': 5})
+    assert len(r2.thresholds) == lfw.LfwValidation.NROF_THRESHOLDS
+    np.testing.assert_allclose(
+        r2.thresholds, np.linspace(0, 4.0, 400), atol=1e-9)
