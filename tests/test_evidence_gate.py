@@ -76,3 +76,53 @@ def test_hard_evidence_not_saturated_and_no_regression(report):
     # degenerate split yields identical folds and 0.00000 everywhere).
     _, sens_std = _metric(block, r'Sensitivity \(TPR, 1-a type 1 error\)')
     assert sens_std > 0, f'{report}: zero sensitivity error bars'
+
+
+# ---- LFW fixed-pairs protocol at FULL SCALE (VERDICT r4 next #4) ----
+# The committed run 20260820-214606-lfwprotocol validates the app at the
+# real protocol geometry: 5,749 identities / 13,233 images, official
+# pairs.txt of 10 x (300+300), flip + subtract_mean, on-chip embed +
+# report in 205 s. Measured: 0.98567 +- 0.00507, VAL 0.88667 @ FAR 1e-3,
+# AUC 0.99904, EER 0.01322 — same non-saturated regime as the class-
+# protocol evidence, so the same gate logic applies.
+
+def _lfw_protocol_runs():
+    return sorted(MODELS.glob('*-lfwprotocol/logs/validate_on_lfw.txt'))
+
+
+def test_lfw_protocol_run_committed():
+    assert _lfw_protocol_runs(), (
+        'no protocol-scale LFW run committed under models/ — '
+        'run tools/lfw_protocol_run.py')
+
+
+@pytest.mark.parametrize('report', _lfw_protocol_runs() or [None])
+def test_lfw_protocol_geometry_and_quality(report):
+    if report is None:
+        pytest.skip('no lfwprotocol run committed (covered above)')
+    text = report.read_text()
+
+    m = re.search(r'pairs: (\d+) \((\d+) same\), folds: (\d+)', text)
+    assert m, 'pairs/folds line missing'
+    assert (int(m.group(1)), int(m.group(2)), int(m.group(3))) == \
+        (6000, 3000, 10), 'not the official 10x(300+300) geometry'
+    assert re.search(r'pairs: 6000 \(3000 same\), skipped: 0', text), \
+        'protocol pairs must all resolve (skipped: 0)'
+
+    acc, acc_std = _metric(text, 'Accuracy')
+    assert ACC_FLOOR <= acc <= ACC_CEIL and acc_std > 0, (acc, acc_std)
+
+    val, val_std = _metric(text, 'Validation rate')
+    assert 0 < val < 1 and val_std > 0, (val, val_std)
+    assert 'FAR=0.00100' in text, 'VAL@FAR target line missing'
+
+    m = re.search(r'Area under curve \(AUC\): ([0-9.]+)', text)
+    assert m and 0.95 < float(m.group(1)) < 1.0, 'AUC missing/saturated'
+    m = re.search(r'Equal error rate \(EER\): ([0-9.]+)', text)
+    assert m and 0 < float(m.group(1)) < 0.05, 'EER missing/degenerate'
+
+    scale = report.parent / 'protocol_scale.txt'
+    assert scale.exists(), 'protocol_scale.txt provenance missing'
+    stext = scale.read_text()
+    assert 'identities: 5749' in stext and 'images: 13233' in stext, \
+        'run was not at LFW scale'
