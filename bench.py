@@ -154,8 +154,18 @@ def main():
     rng = np.random.RandomState(0)
     images = rng.randint(0, 256, (K, CHUNK, 160, 160, 3), dtype=np.uint8)
 
-    variables = model.init(jax.random.PRNGKey(0), images[0, :1], train=False)
-    params, cfg = build_fast_params(variables, model_cfg)
+    # ALL setup is host work — pin it to CPU so none of it rides the
+    # tunnel. model.init is EAGER flax interpretation: on the TPU backend
+    # every one of its hundreds of ops is a separate tunnel dispatch, and
+    # on a degraded-tunnel day that alone exceeds the whole-run deadline
+    # (observed 2026-08-20: >25 min inside init, the true round-4 killer;
+    # the jitted measurement path compiled in minutes the same hour).
+    cpu = jax.devices('cpu')[0]
+    with jax.default_device(cpu):
+        variables = model.init(jax.random.PRNGKey(0), images[0, :1],
+                               train=False)
+        _note('model init done (CPU)')
+        params, cfg = build_fast_params(variables, model_cfg)
     _note('params built')
 
     # Chaining rides `cur` (each call's input depends on the previous

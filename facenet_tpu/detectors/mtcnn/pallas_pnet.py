@@ -601,6 +601,20 @@ def pnet_forward_flat(packed, planes, sh, sw, true_sw, interpret=False):
 # TPU. A future rev could stack G images' patches into one [K, G*chunk]
 # dot to amortize the assembly, at G x the scratch VMEM.
 #
+# ROUND-5 CLOSURE (v5e, tools/time_cascade_ab.py, 2026-08-20): the v5
+# 'dots' assembly variant (no patch writes; nine accumulated [co,ci] x
+# [ci,chunk] shifted dots straight off the source rows) is a measured
+# NEGATIVE at both batches — batch 64: 39.01 ms vs patch 32.51 vs flax
+# 25.00; batch 16: 12.47 vs patch 10.79 — the under-filled-K MXU passes
+# cost more than the VPU patch copies they remove. Decisively, the
+# 'skip' probe (assembly REMOVED entirely, stale patch buffer, timing
+# only) still loses to flax at batch 64: 29.35 vs 25.00 ms. Even a
+# zero-cost assembly cannot make the whole-pyramid kernel win there, so
+# the remaining gap is NOT assembly — it is the kernel's per-image
+# serialization vs XLA's cross-image conv batching. The cascade is
+# DECLARED DONE: 'auto' = flax (throughput), 'pyramid' = latency choice
+# at small batch, 'dots' kept only as the measured-negative record.
+#
 # Correctness invariants inherited from v3 (see its comments): stage-1
 # masking folds validity into a NEG fill so pooling never sees garbage;
 # reads past a level's written lanes can only influence head rows >= h3,

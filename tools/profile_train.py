@@ -40,7 +40,7 @@ WARMUP = 2
 
 def main():
     from bench import _init_backend_with_watchdog
-    jax = _init_backend_with_watchdog(metric='profile_train')
+    jax = _init_backend_with_watchdog()
     import jax.numpy as jnp
 
     from facenet_tpu.config import Config

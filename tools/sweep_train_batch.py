@@ -40,7 +40,7 @@ WARMUP = 2
 
 def main():
     from bench import _init_backend_with_watchdog
-    jax = _init_backend_with_watchdog(metric='sweep_train_batch')
+    jax = _init_backend_with_watchdog()
 
     from facenet_tpu.config import Config
     from facenet_tpu.train.softmax import SoftmaxTrainer
