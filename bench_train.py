@@ -78,7 +78,7 @@ def measure_device_steps(jax, trainer, state, iters=8, warmup=2):
 
 def main():
     from bench import _init_backend_with_watchdog
-    jax = _init_backend_with_watchdog(metric='train_img_per_sec_single_chip')
+    jax = _init_backend_with_watchdog()
     from facenet_tpu.config import Config
     from facenet_tpu.train.softmax import SoftmaxTrainer
 
