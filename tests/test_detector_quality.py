@@ -56,8 +56,9 @@ def _gate(detector_name, recall_floor, iou_floor, precision_floor,
 # (2026-08-19, seed-matched eval): mtcnn out-of-family 'shifted'
 # precision 0.64 -> 0.97 (the motivating fix), base precision held at
 # 0.98, stress precision 0.87 -> 0.75 (the harder base trades some
-# stress headroom). FRCNN ships the 3000-step recipe (precision up vs
-# 2000 steps: base 0.76 -> 0.84 on the trainer's held-out split).
+# stress headroom). Round 5: FRCNN retrained with a longer recipe
+# (6000 steps / 900 scenes, same mix) — recall and base precision up
+# across all three families; per-test comments carry the measurements.
 # Floors sit just under the measured values (test geometry, CPU); a
 # 1-2 point regression fails the gate.
 
@@ -71,9 +72,11 @@ def test_bundled_mtcnn_quality():
 @pytest.mark.skipif(pretrained.bundled_path('frcnnv3') is None,
                     reason='frcnn bundle not built')
 def test_bundled_frcnn_quality():
-    # measured r=0.965 p=0.753 (the base eval scenes now contain the
-    # skin-blob decoys, so precision is not comparable to round 3)
-    _gate('frcnnv3', recall_floor=0.94, iou_floor=0.5, precision_floor=0.72)
+    # Round-5 bundle (6000 steps / 900 scenes, same base+stress mix):
+    # measured r=1.000 p=0.891 IoU=0.871 — the longer recipe lifted
+    # recall everywhere (base 0.965->1.000, stress 0.80->0.92) and base
+    # precision 0.753->0.891.
+    _gate('frcnnv3', recall_floor=0.97, iou_floor=0.5, precision_floor=0.86)
 
 
 # OUT-OF-FAMILY gates (VERDICT r2 weak #3): scenes from the 'shifted'
@@ -92,7 +95,9 @@ def test_bundled_mtcnn_quality_out_of_family():
 @pytest.mark.skipif(pretrained.bundled_path('frcnnv3') is None,
                     reason='frcnn bundle not built')
 def test_bundled_frcnn_quality_out_of_family():
-    _gate('frcnnv3', recall_floor=0.85, iou_floor=0.5, precision_floor=0.62,
+    # round-5 bundle measured r=0.955 p=0.667 (recall up from 0.90,
+    # precision flat vs round 4's 0.68)
+    _gate('frcnnv3', recall_floor=0.92, iou_floor=0.5, precision_floor=0.63,
           family='shifted', seed=777)
 
 
@@ -195,5 +200,8 @@ def test_bundled_mtcnn_quality_stress():
 @pytest.mark.skipif(pretrained.bundled_path('frcnnv3') is None,
                     reason='frcnn bundle not built')
 def test_bundled_frcnn_quality_stress():
-    _gate('frcnnv3', recall_floor=0.76, iou_floor=0.5, precision_floor=0.80,
+    # round-5 bundle measured r=0.923 p=0.845 (recall up from 0.80,
+    # precision -2.5 points — the recall/precision trade of the longer
+    # recipe; both floors raised vs round 4's r=0.76/p=0.80)
+    _gate('frcnnv3', recall_floor=0.88, iou_floor=0.5, precision_floor=0.81,
           family='stress', seed=555)
