@@ -397,6 +397,20 @@ class MTCNN:
         keep = batched_nms_mask(boxes, scores, valid, 0.7, mode='min')
         valid = valid & keep
 
+        # Compact VALID detections to the front, best score first. Slot
+        # order up to here is the stage-3 entry order (R-Net top-k), so
+        # an O-Net-rejected candidate can sit AHEAD of a valid face —
+        # fixed-capacity consumers that read the first `num_faces` slots
+        # (facenet_tpu/pipeline.py FacePipeline) would then miss real
+        # detections (latent until the round-5 retrained bundle reordered
+        # R-Net scores; tests/test_detection.py pins the invariant).
+        order = jnp.argsort(-jnp.where(valid, scores, -1.0), axis=-1)
+        boxes = jnp.take_along_axis(boxes, order[..., None], axis=1)
+        scores = jnp.take_along_axis(scores, order, axis=1)
+        landmarks = jnp.take_along_axis(landmarks, order[..., None, None],
+                                        axis=1)
+        valid = jnp.take_along_axis(valid, order, axis=1)
+
         return {
             'boxes': boxes,                  # [B, K_onet, 4] (x1,y1,x2,y2)
             'scores': jnp.where(valid, scores, 0.0),

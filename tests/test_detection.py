@@ -523,3 +523,37 @@ def test_bilinear_edge_clamp_left_top():
     np.testing.assert_allclose(m[0], np.eye(10, dtype=np.float32)[0],
                                atol=1e-6)
     np.testing.assert_allclose(m.sum(axis=1), 1.0, atol=1e-6)
+
+
+def test_cascade_output_valid_slots_first():
+    """The final cascade output must compact valid detections to the
+    FRONT, best score first: fixed-capacity consumers (FacePipeline
+    reads the first num_faces slots) rely on slot order. Before round 5
+    the slots kept the stage-3 entry order (R-Net top-k), so an
+    O-Net-rejected candidate could sit ahead of a valid face — latent
+    with the round-4 bundle, exposed by the round-5 retrain."""
+    from facenet_tpu.detectors import pretrained
+    from facenet_tpu.detectors.face_detector import FaceDetector
+    from facenet_tpu.utils.synthetic import render_scene
+
+    if pretrained.bundled_path('mtcnn') is None:
+        pytest.skip('mtcnn bundle not built')
+
+    rng = np.random.RandomState(11)
+    scenes = np.stack([render_scene(rng, shape=(256, 256),
+                                    n_faces=rng.randint(1, 3),
+                                    min_face=48, max_face=140)[0]
+                       for _ in range(6)])
+    fd = FaceDetector(detector='mtcnn', image_shape=(256, 256))
+    out = fd.backend_for((256, 256)).detect_batch(scenes)
+    valid = np.asarray(out['valid'])
+    scores = np.asarray(out['scores'])
+    assert valid.any(), 'no faces found at all'
+    for i in range(len(scenes)):
+        v = valid[i].astype(np.int8)
+        assert (np.diff(v) <= 0).all(), \
+            f'image {i}: valid slots not compacted to the front: {v}'
+        n = int(v.sum())
+        s = scores[i, :n]
+        assert (np.diff(s) <= 1e-6).all(), \
+            f'image {i}: valid slots not score-sorted: {s}'
