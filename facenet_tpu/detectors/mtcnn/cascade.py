@@ -95,7 +95,8 @@ class MTCNN:
                  factor=0.709, thresholds=(0.6, 0.7, 0.7),
                  max_proposals=256, max_refined=64, max_outputs=32,
                  params=None, seed=0, dtype=jnp.bfloat16,
-                 pnet_impl='auto', pnet_box_convention='exact'):
+                 pnet_impl='auto', pnet_box_convention='exact',
+                 allow_timing_probes=False):
         # P-Net base-box convention. 'exact' maps grid cell x to its true
         # receptive window [2x, 2x+12) — what the in-repo trainer's
         # regression targets assume. 'caffe' reproduces the upstream
@@ -162,6 +163,14 @@ class MTCNN:
                              'pyramid', 'pyramid-interpret',
                              'pyramid-dots', 'pyramid-skip'):
             raise ValueError(f'unknown pnet_impl {pnet_impl!r}')
+        if pnet_impl == 'pyramid-skip' and not allow_timing_probes:
+            # assembly-cost timing probe: the head dot reads a stale
+            # patch buffer, so detections are GARBAGE — never a valid
+            # production impl (see the v4/v5 record in pallas_pnet.py)
+            raise ValueError(
+                "pnet_impl 'pyramid-skip' is a timing-only probe with "
+                "wrong numerics; pass allow_timing_probes=True to use "
+                "it in a benchmark")
         self.pnet_impl = pnet_impl
         # per-level 128-padded widths + padded H-resize matrices for the
         # flat kernel (zero columns beyond the true scaled width)

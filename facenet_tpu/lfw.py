@@ -304,8 +304,13 @@ class LfwValidation:
         base_range = self.THRESHOLD_RANGE[self.metric]
         top = base_range
         if self.metric == 0 and len(embeddings):
-            observed = float(np.max(pair_distances(
-                embeddings[0::2], embeddings[1::2], 0)))
+            # this probe IS the uncentered metric-0 distance set — seed
+            # _distances' cache so the default config never computes the
+            # full pair-distance array twice
+            probe = pair_distances(self.emb1, self.emb2, 0)
+            if not self.subtract_mean:
+                self._dist_cache = probe
+            observed = float(np.max(probe))
             # unit embeddings never exceed 4 (up to float noise)
             if observed > base_range * (1 + 1e-9):
                 top = observed * 1.05

@@ -140,8 +140,7 @@ def _read_pairs(h5file):
         # per-unit '<path>/checkpoint/input|output' activation dumps
         # (ref tfutils.py:186-195) alongside the weight pairs — skip any
         # dataset under a checkpoint group at either level.
-        segments = scope_path.split('/')
-        if segments[0] == 'checkpoint' or 'checkpoint' in segments:
+        if 'checkpoint' in scope_path.split('/'):
             continue
         pairs[scope_path] = (h5utils.read(h5file, name),
                              h5utils.read(h5file, scope_path + '/biases'))

@@ -299,13 +299,15 @@ class SoftmaxTrainer:
         variables = unfreeze(variables)
 
         def graft(path, old, new):
-            old_np, new_np = np.asarray(old), np.asarray(new)
-            if old_np.shape != new_np.shape:
+            # shape/dtype are array metadata — never fetch `old` to host
+            # (a full-model pull through the dev tunnel costs seconds)
+            new_np = np.asarray(new)
+            if tuple(old.shape) != new_np.shape:
                 name = '/'.join(str(getattr(k, 'key', k)) for k in path)
                 raise ValueError(
                     f'warm_start shape mismatch at backbone/{name}: '
-                    f'state {old_np.shape} vs weights {new_np.shape}')
-            return jax.device_put(new_np.astype(old_np.dtype), old.sharding)
+                    f'state {tuple(old.shape)} vs weights {new_np.shape}')
+            return jax.device_put(new_np.astype(old.dtype), old.sharding)
 
         params = unfreeze(state.params)
         params['backbone'] = jax.tree_util.tree_map_with_path(

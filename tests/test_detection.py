@@ -312,6 +312,17 @@ def test_cascade_wrong_shape_raises(small_mtcnn):
         small_mtcnn.detect_batch(np.zeros((1, 100, 100, 3), np.uint8))
 
 
+def test_cascade_timing_probe_impl_gated():
+    """'pyramid-skip' has WRONG numerics (stale patch buffer) — the
+    constructor must refuse it unless a benchmark opts in explicitly."""
+    from facenet_tpu.detectors.mtcnn.cascade import MTCNN
+    with pytest.raises(ValueError, match='timing-only probe'):
+        MTCNN(image_shape=(96, 96), pnet_impl='pyramid-skip')
+    det = MTCNN(image_shape=(96, 96), pnet_impl='pyramid-skip',
+                allow_timing_probes=True)
+    assert det.pnet_impl == 'pyramid-skip'
+
+
 def test_letterbox_roundtrip():
     from facenet_tpu.detectors.mtcnn.cascade import letterbox_batch
     img = np.full((50, 100, 3), 128, np.uint8)

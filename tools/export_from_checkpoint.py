@@ -35,8 +35,26 @@ def main():
 
     nrof_classes = args.classes
     if nrof_classes is None:
-        raise SystemExit('--classes is required (the run\'s class count '
-                         'determines the checkpoint state structure)')
+        # default promised by the usage string: recover the class count
+        # from the run's own saved config. The yaml records the dataset
+        # path (the count itself is derived from the Database scan at
+        # train time), so re-count its class directories — the standard
+        # recovery scenario is same-machine, dataset still in place.
+        import yaml
+
+        run_yaml = args.run_dir / 'logs' / 'train_softmax.yaml'
+        data_path = None
+        if run_yaml.exists():
+            saved = yaml.safe_load(run_yaml.read_text()) or {}
+            data_path = Path(str((saved.get('dataset') or {})
+                                 .get('path', ''))).expanduser()
+        if data_path and data_path.is_dir():
+            nrof_classes = sum(1 for d in data_path.iterdir() if d.is_dir())
+        if not nrof_classes:
+            raise SystemExit(
+                f'--classes is required: could not derive the class count '
+                f'from {run_yaml} (dataset path missing or moved); the '
+                f'count determines the checkpoint state structure')
     print(f'classes: {nrof_classes}')
 
     # Only the STATE STRUCTURE matters for restore: default IRv1-512

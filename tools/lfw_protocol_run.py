@@ -147,7 +147,15 @@ def main():
     tree = data_root / 'lfw_synth'
 
     # 1. LFW-shaped tree ------------------------------------------------
-    if not tree.exists() or not any(tree.glob('*/*.png')):
+    # a partially rendered tree (interrupted prior run) must re-render,
+    # not silently proceed at sub-protocol scale — count, don't probe
+    n_existing = sum(1 for _ in tree.glob('*/*.png')) if tree.exists() else 0
+    if n_existing and n_existing < args.images:
+        print(f'partial tree found ({n_existing}/{args.images} images) — '
+              f're-rendering from scratch')
+        shutil.rmtree(tree)
+        n_existing = 0
+    if not n_existing:
         # scale the multi-image tail / heaviest identity down with the
         # requested size (smoke tests); full scale keeps the LFW profile
         frac = min(args.identities / 5749, 1.0)

@@ -25,7 +25,6 @@ def chain_time(fn, feed, iters=20, warmup=3):
 
 params = load_bundled('mtcnn')
 rng = np.random.RandomState(0)
-images = jax.device_put(rng.randint(0, 256, (16, 480, 640, 3), np.uint8))
 
 import sys
 batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
@@ -34,7 +33,8 @@ images = jax.device_put(rng.randint(0, 256, (batch, 480, 640, 3), np.uint8))
 # ('pyramid-skip' is the assembly-cost probe — WRONG numerics, timing only)
 impls = sys.argv[2].split(',') if len(sys.argv) > 2 else ('flax', 'pyramid')
 for impl in impls:
-    det = MTCNN(image_shape=(480, 640), params=params, pnet_impl=impl)
+    det = MTCNN(image_shape=(480, 640), params=params, pnet_impl=impl,
+                allow_timing_probes=True)
     def full(x, det=det):
         out = det._detect(det.params, x)
         probe = out['scores'].sum()
